@@ -1,0 +1,225 @@
+"""Text extraction & cleaning: HTML -> text, whitespace/control cleanup,
+charset-whitelist cleanup, long-repeat removal.
+
+Reference semantics reproduced:
+  clean_text (whitespace/control) -> /root/reference/tool.py:8-14
+  charset-whitelist clean_text    -> /root/reference/Crawl_Page/tools/clear_redundancy.py:15-51
+  remove_html_tags                -> /root/reference/tool.py:38-63 (BeautifulSoup
+                                     html.parser, drop script/style/meta/noscript/
+                                     header/footer/nav, get_text(separator=' '))
+  remove_long_repeated_substrings -> clear_redundancy.py:53-170 (suffix automaton;
+                                     delete 2nd+ occurrences of every repeated
+                                     substring of length >= 21, merge intervals)
+
+bs4 is not available in this environment; ``extract_html_text`` is a fresh
+stdlib ``html.parser`` implementation of the same contract (drop the same tag
+subtrees, join text nodes with a single space, then clean). When bs4 IS
+installed it is used instead, for byte parity with the reference's extractor.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_WS = re.compile(r"\s+")
+_CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def clean_text(text: str) -> str:
+    """Whitespace/control cleanup (tool.py:8-14)."""
+    text = _WS.sub(" ", text)
+    text = _CTRL.sub("", text)
+    return text.strip()
+
+
+# --- charset-whitelist cleaner (clear_redundancy.py:15-51) ---
+
+_EMOJI_WHITELIST_CLEAN = re.compile(
+    "["
+    "\U0001F300-\U0001F5FF"
+    "←-⇿"
+    "☀-⛿"
+    "✀-➿"
+    "\U0001F600-\U0001F6FF"
+    "\U0001F700-\U0001F77F"
+    "\U0001F900-\U0001F9FF"
+    "]+"
+)
+_ALLOWED_PUNCT = frozenset(
+    " !~@#$%^&*()_+<>?:\"{}|,./;'[]\\-！￥……&*（）_+<>？：{}|，。，；【】—"
+)
+_KEEP_CHAR = re.compile(r"[一-鿿A-Za-z0-9]")
+_MULTISPACE = re.compile(r"\s{2,}")
+
+
+def clean_text_whitelist(text: str) -> str:
+    """Keep CJK/latin/digits + an explicit punctuation whitelist, drop emoji
+    ranges, collapse multi-space (clear_redundancy.py:15-51)."""
+    text = _EMOJI_WHITELIST_CLEAN.sub("", text)
+    kept = [
+        ch for ch in text if _KEEP_CHAR.match(ch) or ch in _ALLOWED_PUNCT
+    ]
+    return _MULTISPACE.sub(" ", "".join(kept)).strip()
+
+
+# --- HTML -> text extraction (tool.py:38-63) ---
+
+_DROP_TAGS = frozenset(("script", "style", "meta", "noscript", "header", "footer", "nav"))
+# void elements never push onto the open-tag stack
+_VOID_TAGS = frozenset(
+    ("area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr")
+)
+
+try:  # pragma: no cover - bs4 absent in the sandbox
+    from bs4 import BeautifulSoup  # type: ignore
+
+    _HAVE_BS4 = True
+except ImportError:
+    _HAVE_BS4 = False
+
+
+class _TextExtractor(HTMLParser):
+    """Collect text nodes, skipping the subtrees of dropped tags."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._drop_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS and tag not in _VOID_TAGS:
+            self._drop_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS and tag not in _VOID_TAGS and self._drop_depth > 0:
+            self._drop_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth == 0 and data:
+            self.parts.append(data)
+
+
+def extract_html_text(html_content: str | bytes | None) -> str:
+    """HTML -> cleaned text with the reference's contract (tool.py:38-63):
+    drop script/style/meta/noscript/header/footer/nav subtrees, join text
+    nodes with single spaces, then ``clean_text``. Returns "" on any error."""
+    try:
+        if isinstance(html_content, (bytes, bytearray)):
+            html_content = bytes(html_content).decode("utf-8", errors="ignore")
+        if not html_content or not isinstance(html_content, str):
+            return ""
+        if _HAVE_BS4:  # pragma: no cover
+            soup = BeautifulSoup(html_content, "html.parser")
+            for el in soup(list(_DROP_TAGS)):
+                el.extract()
+            return clean_text(soup.get_text(separator=" "))
+        p = _TextExtractor()
+        p.feed(html_content)
+        p.close()
+        return clean_text(" ".join(p.parts))
+    except Exception:
+        return ""
+
+
+# --- long-repeat removal (clear_redundancy.py:53-170) ---
+
+
+def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
+    """Delete the 2nd+ occurrences of every repeated substring of length
+    >= ``min_len``; keep the first occurrence; merge deletion intervals that
+    touch (gap <= 1 merges, clear_redundancy.py:150-159).
+
+    Fresh implementation: suffix automaton built iteratively; for every state
+    with ``len >= min_len`` and >= 2 end positions, the *maximal* substring of
+    that state (exactly state.len chars) is recorded at each occurrence — the
+    same selection the reference makes (it computes but never uses the suffix
+    link length, clear_redundancy.py:116-133).
+    """
+    n = len(s)
+    # a length->=min_len substring occurring twice (occurrences may overlap)
+    # needs at least min_len+1 chars
+    if n <= min_len:
+        return s
+
+    # suffix automaton: arrays of (len, link, transitions dict)
+    sa_len = [0]
+    sa_link = [-1]
+    sa_next: list[dict[str, int]] = [{}]
+    endpos: list[set[int]] = [set()]
+    last = 0
+    for pos, ch in enumerate(s):
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        sa_next.append({})
+        endpos.append({pos})
+        p = last
+        while p != -1 and ch not in sa_next[p]:
+            sa_next[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = sa_next[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                sa_next.append(dict(sa_next[q]))
+                endpos.append(set(endpos[q]))
+                while p != -1 and sa_next[p].get(ch) == q:
+                    sa_next[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+
+    # propagate end positions up suffix links, longest states first
+    # (clear_redundancy.py:95-102)
+    for st in sorted(range(len(sa_len)), key=lambda x: -sa_len[x]):
+        lk = sa_link[st]
+        if lk != -1:
+            endpos[lk] |= endpos[st]
+
+    # collect occurrence intervals of repeated maximal substrings
+    occurrences: dict[str, list[tuple[int, int]]] = {}
+    for st in range(len(sa_len)):
+        length = sa_len[st]
+        if length < min_len or len(endpos[st]) < 2:
+            continue
+        for end in endpos[st]:
+            start = end - length + 1
+            if start < 0:
+                continue
+            occurrences.setdefault(s[start : end + 1], []).append((start, end))
+
+    to_remove: list[tuple[int, int]] = []
+    for intervals in occurrences.values():
+        if len(intervals) < 2:
+            continue
+        intervals.sort(key=lambda x: x[0])
+        to_remove.extend(intervals[1:])
+    if not to_remove:
+        return s
+
+    to_remove.sort()
+    merged: list[list[int]] = [list(to_remove[0])]
+    for a, b in to_remove[1:]:
+        if a <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+
+    pieces: list[str] = []
+    idx = 0
+    for a, b in merged:
+        if idx < a:
+            pieces.append(s[idx:a])
+        idx = b + 1
+    if idx < n:
+        pieces.append(s[idx:])
+    return "".join(pieces)
