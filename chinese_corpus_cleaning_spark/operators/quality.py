@@ -1,0 +1,171 @@
+"""Quality-evaluation operators: rule filter + feature words + scrub + score
+as Arrow-vectorized pandas UDFs over a broadcast keyword trie.
+
+Spark-first design (SURVEY.md §2.11, §3 E1):
+  * ONE Series->Struct pandas UDF computes every per-document output in a
+    single JVM<->Python Arrow round trip (the reference walks each document
+    up to 6 times across rule/feature/score/scrub phases; here each text
+    crosses the Arrow channel once and is scanned once per concern).
+  * Only the ``text`` column is shipped to Python — Catalyst prunes
+    everything else (html binary stays JVM-side).
+  * keep/quality_score composition stays a native Column expression so the
+    optimizer sees it (predicate pushdown on ``keep`` into downstream scans).
+  * Per-document errors (e.g. the reference's ZeroDivisionError on empty
+    text, rule_filter.py:383) become an ``error`` field instead of task
+    failures — deterministic under task retries (SURVEY.md §4).
+
+Reference decision path being reproduced: main.py:135-251 with the default
+config (rule 0.3 + feature 0.5, threshold 0.8 — config.py:47-61).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import DEFAULT, PipelineConfig
+from ..functions.feature import evaluate_features
+from ..functions.dfa import scan as dfa_scan
+from ..functions.textstats import CHECK_NAMES, check_flags, compute_stats, rule_score
+
+def _resolve(v):
+    """Accept either a raw trie dict or a lazily-building TrieBox
+    (sources/wordlists.py) as the broadcast payload."""
+    return getattr(v, "trie", v)
+
+
+_CHECK_FIELDS = [StructField(name, BooleanType()) for name in CHECK_NAMES]
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("rule_passed", BooleanType()),
+        StructField("rule_checks", StructType(_CHECK_FIELDS)),
+        StructField("rule_score", DoubleType()),
+        StructField("feature_passed", BooleanType()),
+        StructField("feature_count", IntegerType()),
+        StructField("feature_words", ArrayType(StringType())),
+        StructField("avg_feature_per_line", DoubleType()),
+        StructField("feature_score", DoubleType()),
+        StructField("scrubbed_text", StringType()),
+        StructField("scrub_reasons", ArrayType(StringType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _eval_one(text, trie, cfg: PipelineConfig) -> dict:
+    if text is None:
+        return {"error": "null_text"}
+    try:
+        st = compute_stats(text)
+        flags = check_flags(st, cfg.rule)
+        rscore = rule_score(text, st, flags, cfg.rule)
+        feat = evaluate_features(text, trie, cfg.feature)
+        scrubbed, matches = dfa_scan(text, trie)
+        return {
+            "rule_passed": all(flags.values()),
+            "rule_checks": flags,
+            "rule_score": rscore,
+            "feature_passed": feat.passed,
+            "feature_count": feat.feature_count,
+            "feature_words": feat.feature_words,
+            "avg_feature_per_line": feat.avg_per_line,
+            "feature_score": feat.score,
+            "scrubbed_text": scrubbed,
+            "scrub_reasons": sorted(set(matches)),
+            "error": None,
+        }
+    except ZeroDivisionError:
+        # reference parity: empty text errors out of get_rule_score
+        # (rule_filter.py:383) and is counted as an error doc (main.py:304-307)
+        return {"error": "empty_text"}
+    except Exception as e:  # deterministic error isolation per doc
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def make_quality_udf(trie_broadcast, cfg: PipelineConfig = DEFAULT):
+    """Series->Struct pandas UDF; ``trie_broadcast`` is a SparkContext
+    broadcast of the keyword trie (sources/wordlists.broadcast_trie)."""
+
+    @F.pandas_udf(QUALITY_SCHEMA)
+    def quality_eval(texts: pd.Series) -> pd.DataFrame:
+        trie = _resolve(trie_broadcast.value)
+        rows = [_eval_one(t, trie, cfg) for t in texts]
+        out = pd.DataFrame(
+            rows,
+            columns=[f.name for f in QUALITY_SCHEMA.fields],
+        )
+        # struct sub-field for rule_checks must be a dict-like per row
+        return out
+
+    return quality_eval
+
+
+def with_quality(
+    df: DataFrame,
+    trie_broadcast,
+    cfg: PipelineConfig = DEFAULT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Append quality columns + native-expression composite score & keep.
+
+    The composite mirrors main.py:219-251 with the default enabled
+    components: (w_rule*rule + w_feature*feature) / (w_rule + w_feature);
+    keep = score >= threshold (main.py:207-209). Error docs get
+    quality_score NULL and keep=false.
+    """
+    udf = make_quality_udf(trie_broadcast, cfg)
+    df = df.withColumn("q", udf(F.col(text_col)))
+    total_w = cfg.weight_rule + cfg.weight_feature
+    score: Column = (
+        F.col("q.rule_score") * F.lit(cfg.weight_rule)
+        + F.col("q.feature_score") * F.lit(cfg.weight_feature)
+    ) / F.lit(total_w)
+    return (
+        df.withColumn(
+            "quality_score",
+            F.when(F.col("q.error").isNull(), score),
+        )
+        .withColumn(
+            "keep",
+            F.coalesce(
+                F.col("quality_score") >= F.lit(cfg.quality_threshold), F.lit(False)
+            ),
+        )
+        .select("*", "q.*")
+        .drop("q")
+    )
+
+
+def scrub_udf(trie_broadcast):
+    """Standalone scrub operator (reference DFAFilter.filter,
+    sensitive_filter.py:72-104): text -> scrubbed (lowercased) text."""
+
+    @F.pandas_udf(StringType())
+    def scrub(texts: pd.Series) -> pd.Series:
+        trie = _resolve(trie_broadcast.value)
+        return texts.map(lambda t: None if t is None else dfa_scan(t, trie)[0])
+
+    return scrub
+
+
+def detect_udf(trie_broadcast):
+    """Standalone detect operator (sensitive_filter.py:106-134):
+    text -> array of matched keywords (with duplicates, in scan order)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def detect(texts: pd.Series) -> pd.Series:
+        trie = _resolve(trie_broadcast.value)
+        return texts.map(lambda t: None if t is None else dfa_scan(t, trie)[1])
+
+    return detect

@@ -1,0 +1,180 @@
+"""End-to-end quality-filter pipeline plan (rebuild of reference E1/E2,
+SURVEY.md §3).
+
+    docs(url, warc_ts, html, text, lang)
+      -> [repartition by xxhash64(url)]            explicit parallelism/lineage
+      -> quality eval (ONE Arrow round trip)        operators/quality.py
+      -> quality_score, keep (native exprs)         Catalyst-visible
+      -> labels table  (url, keep, scores, checks, scrub outputs)
+      -> metrics       (observe() counters + per-partition lineage rows)
+
+Scale notes (10^12-doc target):
+  * The input scan only reads (url, text) — column pruning keeps the html
+    binary out of the plan entirely (verify via .explain: ReadSchema).
+  * repartition(N, xxhash64(url)) gives stable, evenly-sized partitions
+    independent of source file layout, and partition ids usable as lineage
+    keys for resume (north_rule).
+  * No shuffle after the repartition: eval + score + write are all
+    map-side; the only wide stages in the full job are the optional dedup
+    join (operators/dedup.py) and the metrics aggregation (tiny).
+  * Kept/scrubbed outputs are written partitioned (bucket-by-url-hash dirs
+    via partition_id) so a resumed run can anti-join completed partitions.
+
+Run via spark-submit:  python -m chinese_corpus_cleaning_spark.plans.pipeline
+  --input <parquet-or-iceberg> --output <dir> [--partitions N] [--resume]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from ..operators.quality import with_quality
+from ..sources.wordlists import broadcast_trie
+
+LABEL_COLUMNS = (
+    "url",
+    "keep",
+    "quality_score",
+    "rule_passed",
+    "rule_score",
+    "rule_checks",
+    "feature_passed",
+    "feature_count",
+    "feature_words",
+    "avg_feature_per_line",
+    "feature_score",
+    "scrubbed_text",
+    "scrub_reasons",
+    "error",
+    "part_id",
+)
+
+
+def quality_filter_plan(
+    docs: DataFrame,
+    trie_bc,
+    cfg: PipelineConfig = DEFAULT,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The labels DataFrame. Column-prunes to (url, text) before the UDF
+    stage; repartitions on xxhash64(url) when ``partitions`` is given."""
+    slim = docs.select("url", "text")
+    if partitions:
+        slim = slim.repartition(partitions, F.xxhash64("url"))
+    labeled = with_quality(slim, trie_bc, cfg)
+    return labeled.withColumn("part_id", F.spark_partition_id()).select(
+        *LABEL_COLUMNS
+    )
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    cfg: PipelineConfig = DEFAULT,
+    partitions: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Execute the pipeline with metrics + per-partition lineage and
+    idempotent, resumable writes.
+
+    Resume contract (north_rule): lineage rows record completed partition
+    ids; a resumed run anti-joins them away and appends only missing
+    partitions. Output layout is partitioned by part_id so re-writing a
+    partition is idempotent (dynamic overwrite).
+    """
+    trie_bc = broadcast_trie(spark)
+    labels = quality_filter_plan(docs, trie_bc, cfg, partitions)
+
+    labels_path = f"{output_dir}/labels"
+    lineage_path = f"{output_dir}/lineage"
+
+    if resume:
+        try:
+            done = (
+                spark.read.parquet(lineage_path)
+                .where(F.col("status") == "complete")
+                .select("part_id")
+                .distinct()
+            )
+            labels = labels.join(F.broadcast(done), "part_id", "left_anti")
+        except Exception:
+            pass  # no lineage yet -> full run
+
+    # run-level counters ride the same action via observe() (K3 rebuild:
+    # stats.json of main.py:310-312 without a second pass)
+    observed = labels.observe(
+        "metrics",
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("keep").cast("long")).alias("high_quality"),
+        F.sum((~F.col("keep") & F.col("error").isNull()).cast("long")).alias(
+            "low_quality"
+        ),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("error"),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    observed.write.mode("overwrite" if not resume else "append").partitionBy(
+        "part_id"
+    ).parquet(labels_path)
+
+    # per-partition lineage written after the labels action commits
+    lineage = (
+        spark.read.parquet(labels_path)
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        )
+        .withColumn("status", F.lit("complete"))
+    )
+    lineage.write.mode("overwrite").parquet(lineage_path)
+
+    stats = (
+        spark.read.parquet(labels_path)
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("keep").cast("long")).alias("high_quality"),
+            F.sum((~F.col("keep") & F.col("error").isNull()).cast("long")).alias(
+                "low_quality"
+            ),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("error"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    return stats
+
+
+def main() -> None:  # pragma: no cover - spark-submit entry
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("ccc-quality-filter")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    if args.input.startswith("iceberg:"):
+        docs = spark.read.format("iceberg").load(args.input[len("iceberg:") :])
+    else:
+        docs = spark.read.parquet(args.input)
+    stats = run(
+        spark,
+        docs,
+        args.output,
+        partitions=args.partitions,
+        resume=args.resume,
+    )
+    print(stats)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

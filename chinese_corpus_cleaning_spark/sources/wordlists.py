@@ -1,0 +1,92 @@
+"""Word-list loading and broadcast plumbing.
+
+The reference loads its 43,378-word merged list once at startup and builds a
+DFA trie (/root/reference/text_quality_filter/main.py:44-49,
+utils/feature_words.py:131-142). Here the trie is built ONCE on the driver and
+shipped to executors via ``SparkContext.broadcast`` — deserialized once per
+executor process, then shared by every Arrow batch (SURVEY.md §4 item 3).
+
+The full vendored lists live at data/wordlists/ (public data files from the
+reference repo, vendored verbatim as the survey's build plan prescribes).
+``SMALL_LEXICON`` is a tiny readable list for unit tests and demo queries.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from ..functions.dfa import build_trie
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+WORDLIST_DIR = os.path.join(_REPO_ROOT, "data", "wordlists")
+ALL_SENSITIVE_WORDS = os.path.join(WORDLIST_DIR, "all_sensitive_words.txt")
+AD_WORDS = os.path.join(WORDLIST_DIR, "ad_words.txt")
+
+# small, readable lexicon for tests/demos — mirrors the categories of the full
+# list (ad words, sensitive words, contact-bait), plus the shortest-match
+# boundary case "1989年" from /root/reference/filter.py:162-165
+SMALL_LEXICON = (
+    "赌博", "色情", "暴力", "特价", "促销", "优惠", "免费咨询",
+    "加微信", "点击链接", "联系电话", "1989年", "自拍偷拍", "一夜情",
+)
+
+
+def load_words(path: str) -> list[str]:
+    """One word per line, stripped, empties dropped
+    (feature_words.py:131-142 contract)."""
+    words: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            w = line.strip()
+            if w:
+                words.append(w)
+    return words
+
+
+@lru_cache(maxsize=4)
+def full_trie() -> dict:
+    """Driver-side trie over the full vendored list (cached)."""
+    return build_trie(load_words(ALL_SENSITIVE_WORDS))
+
+
+def small_trie() -> dict:
+    return build_trie(SMALL_LEXICON)
+
+
+class TrieBox:
+    """Broadcast container that ships the *word list* and builds the trie
+    lazily, once per executor python process.
+
+    Why not broadcast the trie itself: the vendored list contains a 42,890-
+    char line (a comma-joined mega-entry present in the reference's own data
+    file, which the reference also loads as a single keyword) — pickling a
+    nested-dict chain that deep exceeds the recursion limit. Shipping the
+    flat word tuple pickles in O(n) and the per-process build is a one-time
+    ~100ms cost amortized over every Arrow batch.
+    """
+
+    def __init__(self, words) -> None:
+        self.words = tuple(words)
+        self._trie: dict | None = None
+
+    @property
+    def trie(self) -> dict:
+        if self._trie is None:
+            self._trie = build_trie(self.words)
+        return self._trie
+
+    def __getstate__(self):
+        return self.words
+
+    def __setstate__(self, words):
+        self.words = words
+        self._trie = None
+
+
+def broadcast_trie(spark, words: list[str] | None = None):
+    """Broadcast a lazily-built TrieBox; pandas UDFs close over the Broadcast
+    handle and access ``.value.trie`` per batch (built once per worker)."""
+    if words is None:
+        words = load_words(ALL_SENSITIVE_WORDS)
+    return spark.sparkContext.broadcast(TrieBox(words))

@@ -1,0 +1,152 @@
+"""Spark E2E: the pipeline's output must equal the pure-Python functions
+applied per document (golden parity, FIXTURES.md §4), plus extraction,
+lineage and resume behaviour."""
+
+from __future__ import annotations
+
+import pytest
+
+from chinese_corpus_cleaning_spark.config import DEFAULT
+from chinese_corpus_cleaning_spark.functions.dfa import build_trie, scan
+from chinese_corpus_cleaning_spark.functions.feature import evaluate_features
+from chinese_corpus_cleaning_spark.functions.langid import identify
+from chinese_corpus_cleaning_spark.functions.cleaning import (
+    extract_html_text,
+    remove_long_repeated_substrings,
+)
+from chinese_corpus_cleaning_spark.functions.textstats import evaluate_rules
+from chinese_corpus_cleaning_spark.operators.extract import with_extraction
+from chinese_corpus_cleaning_spark.plans.pipeline import quality_filter_plan, run
+from chinese_corpus_cleaning_spark.sources import gen
+from chinese_corpus_cleaning_spark.sources.wordlists import SMALL_LEXICON
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return gen.docs_pandas(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, docs_pdf):
+    return spark.createDataFrame(docs_pdf).cache()
+
+
+def _expected_label(text: str):
+    """Driver-side oracle: exactly what the pipeline must produce per doc."""
+    trie = build_trie(SMALL_LEXICON)
+    try:
+        _, flags, rscore, _ = evaluate_rules(text, DEFAULT.rule)
+        feat = evaluate_features(text, trie, DEFAULT.feature)
+        scrubbed, matches = scan(text, trie)
+    except ZeroDivisionError:
+        return {"error": "empty_text", "keep": False}
+    q = (DEFAULT.weight_rule * rscore + DEFAULT.weight_feature * feat.score) / (
+        DEFAULT.weight_rule + DEFAULT.weight_feature
+    )
+    return {
+        "keep": q >= DEFAULT.quality_threshold,
+        "quality_score": q,
+        "rule_score": rscore,
+        "feature_score": feat.score,
+        "scrubbed_text": scrubbed,
+        "error": None,
+    }
+
+
+def test_pipeline_matches_oracle_per_url(spark, docs, docs_pdf, monkeypatch):
+    import chinese_corpus_cleaning_spark.plans.pipeline as pl
+
+    trie_bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    labels = {
+        r["url"]: r
+        for r in quality_filter_plan(docs, trie_bc, DEFAULT, partitions=6)
+        .collect()
+    }
+    assert len(labels) == N_DOCS
+    mismatches = []
+    for _, doc in docs_pdf.iterrows():
+        exp = _expected_label(doc["text"])
+        got = labels[doc["url"]]
+        if exp.get("error"):
+            if got["error"] != exp["error"] or got["keep"]:
+                mismatches.append((doc["url"], "error", got["error"]))
+            continue
+        if got["keep"] != exp["keep"]:
+            mismatches.append((doc["url"], "keep", got["keep"], exp["keep"]))
+        if got["quality_score"] != pytest.approx(exp["quality_score"], abs=0):
+            mismatches.append((doc["url"], "score"))
+        if got["scrubbed_text"] != exp["scrubbed_text"]:
+            mismatches.append((doc["url"], "scrub"))
+    assert not mismatches, mismatches[:5]
+
+
+def test_pipeline_column_pruning(spark, docs, tmp_path):
+    """The html binary column must be pruned out of the parquet scan: the
+    physical plan's ReadSchema must contain only (url, text)."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    from_disk = spark.read.parquet(path)
+    trie_bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    plan_df = quality_filter_plan(from_disk, trie_bc, DEFAULT)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    explained = buf.getvalue()
+    read_schema = [ln for ln in explained.splitlines() if "ReadSchema" in ln]
+    assert read_schema, explained
+    assert "html" not in read_schema[0] and "warc_ts" not in read_schema[0]
+    assert "url" in read_schema[0] and "text" in read_schema[0]
+    # the UDF stage must be Arrow-vectorized (ArrowEvalPython node)
+    assert "ArrowEvalPython" in explained
+
+
+def test_extraction_stage(spark, docs, docs_pdf):
+    out = {
+        r["url"]: r
+        for r in with_extraction(docs)
+        .select("url", "extracted_text", "lang_pred", "is_zh")
+        .collect()
+    }
+    checked = 0
+    for _, doc in docs_pdf.iterrows():
+        exp = remove_long_repeated_substrings(extract_html_text(doc["html"]))
+        got = out[doc["url"]]
+        assert got["extracted_text"] == exp, doc["url"]
+        lang, _, is_zh = identify(exp)
+        assert got["lang_pred"] == lang and got["is_zh"] == is_zh
+        checked += 1
+    assert checked == N_DOCS
+    # boilerplate must be gone
+    sample = next(iter(out.values()))["extracted_text"]
+    assert "版权所有" not in sample and "请启用JS" not in sample
+
+
+def test_run_with_lineage_and_resume(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    stats = run(spark, docs, out, partitions=4)
+    assert stats["total"] == N_DOCS
+    assert stats["high_quality"] > 0
+    assert stats["high_quality"] + stats["low_quality"] + stats["error"] == N_DOCS
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.count() == 4
+    assert lineage.where("status='complete'").count() == 4
+
+    # resume over a completed run adds nothing and stays consistent
+    stats2 = run(spark, docs, out, partitions=4, resume=True)
+    assert stats2 == stats
+
+
+def test_generator_determinism(spark):
+    a = gen.docs_df(spark, 100, partitions=2).orderBy("url").collect()
+    b = gen.docs_df(spark, 100, partitions=7).orderBy("url").collect()
+    assert [r["url"] for r in a] == [r["url"] for r in b]
+    assert [r["text"] for r in a] == [r["text"] for r in b]
+    # hot host skew present
+    hot = sum(1 for r in a if gen.HOT_HOST in r["url"])
+    assert 10 <= hot <= 60
