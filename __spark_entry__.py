@@ -1,38 +1,90 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline on the sf0.001
+documents table; ``queries()`` / ``oracle_sql()`` expose every implemented
+operator (plans/catalog.py + plans/oracles.py) for the DuckDB correctness
+gate. tests/test_oracle_parity.py replicates the driver's comparison locally.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package to executor python workers (the local equivalent of
+    spark-submit --py-files): without this, pandas-UDF closures that
+    reference chinese_corpus_cleaning_spark fail to unpickle on workers when
+    the driver's cwd is not the repo root."""
+    import zipfile
+
+    pkg = os.path.join(_REPO, "chinese_corpus_cleaning_spark")
+    sources = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    ]
+    stamp = max(int(os.path.getmtime(f)) for f in sources)
+    zip_path = os.path.join("/tmp", f"chinese_corpus_cleaning_spark_{stamp}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zip_path)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full keep/drop + scrub pipeline (labels table) over the
+    sf0.001 documents, using the full vendored 43k-word lexicon."""
+    from pyspark.sql import functions as F
+
+    from chinese_corpus_cleaning_spark.plans.pipeline import quality_filter_plan
+    from chinese_corpus_cleaning_spark.sources.wordlists import broadcast_trie
+
+    _ensure_pyfiles(spark)
+    docs = (
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    )
+    trie_bc = broadcast_trie(spark)
+    labels = quality_filter_plan(docs, trie_bc, partitions=4)
+    # struct/array columns flattened for a stable smoke-check schema
+    return labels.select(
+        "url",
+        "keep",
+        "quality_score",
+        "rule_passed",
+        "rule_score",
+        "feature_score",
+        "scrubbed_text",
+        "error",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from chinese_corpus_cleaning_spark.plans.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_pyfiles(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from chinese_corpus_cleaning_spark.plans.oracles import build
+
+    return build()

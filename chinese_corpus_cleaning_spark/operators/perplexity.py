@@ -1,0 +1,189 @@
+"""Distributed n-gram LM training + perplexity scoring.
+
+Training (SURVEY.md §2.7 A2): explode (context, word) n-grams relationally ->
+groupBy(context, word).count() — Spark's partial+final hash aggregation does
+the heavy lifting; the model table is tiny relative to the corpus.
+
+Scoring, two interchangeable paths:
+  * relational: explode the document's n-grams, broadcast-join the counts
+    table, Lidstone-smooth, agg log2 probs per doc — fully oracle-checkable
+    and shuffle-light (model side broadcast).
+  * broadcast-UDF (scale fast path): ship {(context,word)->cnt, context->tot,
+    |V|} via broadcast and score inside one pandas UDF pass (no join at all).
+
+Both reproduce the arithmetic of the reference's recovered NgramModel
+(SURVEY.md §2.9): P = (c+α)/(C+α|V|), ppl = 2^(−mean log2 P), log floor −100.
+
+Tokenization for the relational path is whitespace ``split`` (native); the
+UDF path uses functions/ngram_lm.tokenize (jieba when available). Use the
+relational path where the corpus is already token-delimited.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions.ngram_lm import BOS, EOS, LOG_FLOOR, NgramModel, perplexity_score
+
+_SEP = "\x1f"  # context-token joiner inside the flat model table
+
+
+def _ngram_expr(text_col: str, n: int) -> str:
+    """Native expr producing array<struct<context:string, word:string>> over
+    whitespace tokens padded with <s>/<\\s> (ngram_lm.ngrams semantics)."""
+    pads = ", ".join([f"'{BOS}'"] * (n - 1))
+    toks = (
+        f"concat(array({pads}), split({text_col}, ' '), array('{EOS}'))"
+        if n > 1
+        else f"concat(split({text_col}, ' '), array('{EOS}'))"
+    )
+    return (
+        f"transform(sequence({n}, size({toks})), "
+        f"i -> struct(array_join(slice({toks}, i - {n - 1}, {n - 1}), '{_SEP}') as context, "
+        f"element_at({toks}, i) as word))"
+    )
+
+
+def ngram_counts(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Model table: (context, word, cnt). Pure native explode + hash agg."""
+    return (
+        docs.select(F.explode(F.expr(_ngram_expr(text_col, n))).alias("g"))
+        .select("g.context", "g.word")
+        .groupBy("context", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_size(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+
+
+def perplexity_relational(
+    docs: DataFrame,
+    model: DataFrame,
+    n: int = 3,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    v: int | None = None,
+) -> DataFrame:
+    """(doc_id, ppl): explode doc n-grams, broadcast-join model counts,
+    smooth, aggregate. ``v`` = vocab size (computed if None)."""
+    if v is None:
+        v = vocab_size(docs, text_col).collect()[0]["v"]
+    ctx_tot = model.groupBy("context").agg(F.sum("cnt").alias("ctx_cnt"))
+    grams = docs.select(
+        F.col(id_col), F.explode(F.expr(_ngram_expr(text_col, n))).alias("g")
+    ).select(id_col, "g.context", "g.word")
+    joined = (
+        grams.join(F.broadcast(model), ["context", "word"], "left")
+        .join(F.broadcast(ctx_tot), ["context"], "left")
+        .withColumn(
+            "log2p",
+            F.log2(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + F.lit(alpha) * F.lit(v))
+            ),
+        )
+        .withColumn(
+            "log2p", F.greatest(F.col("log2p"), F.lit(LOG_FLOOR))
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.pow(F.lit(2.0), -F.avg("log2p")).alias("ppl"),
+        (-F.avg("log2p")).alias("neg_avg_log2p"),
+    )
+
+
+def train_broadcast_model(
+    spark, docs: DataFrame, n: int = 3, alpha: float = 0.1, text_col: str = "text"
+):
+    """Distributed training -> compact driver model -> broadcast handle for
+    the UDF fast path. The collected model is the aggregated counts table
+    (small: unique n-grams), NOT the corpus."""
+    rows = ngram_counts(docs, n, text_col).collect()
+    v = vocab_size(docs, text_col).collect()[0]["v"]
+    pair_counts = {(r["context"], r["word"]): r["cnt"] for r in rows}
+    ctx_tot: dict[str, int] = {}
+    for (ctx, _), c in pair_counts.items():
+        ctx_tot[ctx] = ctx_tot.get(ctx, 0) + c
+    return spark.sparkContext.broadcast(
+        {"n": n, "alpha": alpha, "v": v, "pairs": pair_counts, "ctx": ctx_tot}
+    )
+
+
+def perplexity_udf(model_bc):
+    """Scale fast path: score with zero joins; whitespace tokens to match the
+    relational trainer."""
+    import math
+
+    @F.pandas_udf(DoubleType())
+    def ppl(texts: pd.Series) -> pd.Series:
+        m = model_bc.value
+        n, alpha, v = m["n"], m["alpha"], m["v"]
+        pairs, ctx_tot = m["pairs"], m["ctx"]
+
+        def one(t):
+            if t is None:
+                return None
+            toks = [BOS] * (n - 1) + t.split(" ") + [EOS]
+            total, cnt = 0.0, 0
+            for i in range(n - 1, len(toks)):
+                ctx = _SEP.join(toks[i - (n - 1) : i])
+                num = pairs.get((ctx, toks[i]), 0) + alpha
+                den = ctx_tot.get(ctx, 0) + alpha * v
+                p = num / den if den > 0 else 0.0
+                total += math.log2(p) if p > 0 else LOG_FLOOR
+                cnt += 1
+            return 2.0 ** (-total / cnt) if cnt else float("inf")
+
+        return texts.map(one)
+
+    return ppl
+
+
+def ppl_score_col(ppl_col: str, threshold: float = 500.0, max_ppl: float = 10000.0):
+    """Native Column for the banded perplexity score (SURVEY.md §2.9)."""
+    capped = F.least(F.col(ppl_col), F.lit(max_ppl))
+    half = threshold / 2
+    return (
+        F.when(capped >= max_ppl, F.lit(0.0))
+        .when(capped <= half, F.lit(1.0))
+        .otherwise(
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - (capped - F.lit(half)) / F.lit(max_ppl - half)
+            )
+        )
+    )
+
+
+def score_with_python_model(texts: list[str], n: int = 3) -> list[float]:
+    """Test helper: the pure-Python twin of the relational scorer (whitespace
+    tokens) for golden comparisons."""
+    m = NgramModel(n=n)
+    # emulate whitespace tokenization regardless of jieba availability
+    for t in texts:
+        toks = t.split(" ")
+        m.vocab.update(toks)
+        from ..functions.ngram_lm import ngrams
+
+        for ctx, w in ngrams(toks, n):
+            m.counts.setdefault(ctx, __import__("collections").Counter())[w] += 1
+    out = []
+    import math
+
+    for t in texts:
+        from ..functions.ngram_lm import ngrams
+
+        grams = ngrams(t.split(" "), n)
+        tot = 0.0
+        for ctx, w in grams:
+            p = m.prob(ctx, w)
+            tot += math.log2(p) if p > 0 else LOG_FLOOR
+        out.append(2.0 ** (-tot / len(grams)) if grams else float("inf"))
+    return out

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+language-ID (relational form), document fingerprinting, quality stats.
+
+These extend the reference's capabilities with the ops a 100TB training-data
+pipeline needs; all are expressed with native Spark functions (whole-stage
+codegen, no Python in the hot path) and have exact DuckDB oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.langid import STOPWORDS
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len) via native splits."""
+    toks = f"split({text_col}, ' ')"
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tokens"),
+        (
+            F.expr(f"aggregate({toks}, 0, (acc, t) -> acc + length(t))")
+            / F.expr(f"size({toks})")
+        ).alias("avg_token_len"),
+    )
+
+
+def langid_relational(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID as pure SQL (the relational twin of
+    functions/langid.identify's stopword stage, for whitespace-tokenized
+    latin text): per-language marker-hit counts -> argmax with alphabetical
+    tie-break. Returns (doc_id, lang_pred, top_hits, n_tokens)."""
+    toks = f"split({text_col}, ' ')"
+    hit_cols = {
+        lang: F.expr(
+            f"size(filter({toks}, t -> lower(t) in ({', '.join(repr(w) for w in words)})))"
+        ).alias(f"hits_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    df = docs.select(F.col(id_col), F.expr(f"size({toks})").alias("n_tokens"), *hit_cols.values())
+    langs = sorted(STOPWORDS)
+    # argmax with ties to alphabetically-first language; zero hits -> 'und'
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # build reversed so earliest lang wins ties
+        pred = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(
+        id_col,
+        pred.alias("lang_pred"),
+        best.alias("top_hits"),
+        "n_tokens",
+    )
+
+
+def fingerprint_winnow(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bottom-1 winnowing fingerprint: min h60 over all char k-grams —
+    a content-defined doc signature robust to small edits at the ends.
+    (doc_id, fingerprint)."""
+    grams = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(
+            f"array_min(transform({grams},"
+            " g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+        ).alias("fingerprint"),
+    )
+
+
+def quality_stats_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level rollup by (lang, source): doc counts, char stats — the
+    Spark-native form of the reference's stats.json counters
+    (main.py:271-277,310-312) generalized to grouped metrics."""
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.avg(F.length(text_col)).alias("avg_chars"),
+            F.min(F.length(text_col)).alias("min_chars"),
+            F.max(F.length(text_col)).alias("max_chars"),
+        )
+    )

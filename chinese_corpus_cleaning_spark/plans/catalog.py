@@ -1,0 +1,374 @@
+"""Query catalog: every implemented operator exposed as a (spark_fn,
+oracle_sql) pair for the driver's correctness gate.
+
+Each ``queries()[name]`` takes (spark, sf_dir) and returns a DataFrame; each
+``oracle_sql()[name]`` is ANSI-ish SQL DuckDB runs on the same parquet tables.
+Column names/ordering are aligned on both sides; doubles are rounded
+identically before output so order-insensitive value hashing matches.
+
+Dialect notes (why some things look explicit):
+  * All content hashing uses the md5-h60 primitive (functions/hashing.py),
+    identical in Spark SQL (conv/substr/md5) and DuckDB (hex-cast).
+  * Regex classes are written portably (explicit ranges); Python-re-specific
+    semantics (unicode \\w) live only in the pandas-UDF pipeline whose parity
+    is established against the reference by tests/test_functions_differential.
+  * Floating expressions are written with identical operation order in both
+    dialects so IEEE doubles agree bit-for-bit before rounding.
+
+The English mini-lexicon below exists because the driver's ``documents``
+table is ASCII word-salad; it exercises the REAL DFA/scrub UDF path against
+a SQL-expressible oracle (the words are chosen with no cross-word overlaps so
+DFA shortest-match scan == sequential replace, provably).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, DedupConfig
+from ..functions.dfa import build_trie
+from ..operators import dedup, perplexity, similarity, textanalysis
+from ..operators.quality import scrub_udf, with_quality
+
+_SMALL_MINHASH = DedupConfig(
+    similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+)
+
+# lexicon for SQL-checkable DFA/scrub queries (see module docstring)
+EN_LEXICON = ("spark", "vector", "window", "stream", "customer")
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# portable regex fragments written with \x{...} codepoint syntax, which both
+# Java regex (Spark) and RE2 (DuckDB) accept with identical range semantics;
+# Python-re-specific behaviour lives only in the UDF pipeline (differential-
+# tested against the reference). Shared with plans/oracles.py.
+RX_CJK = "[\\x{4e00}-\\x{9fff}]"
+RX_SYMBOL = "[^\\w\\s\\x{4e00}-\\x{9fff}]"
+RX_URL = "https?://\\S+|www\\.\\S+|[a-zA-Z0-9][a-zA-Z0-9-]{1,61}[a-zA-Z0-9]\\.[a-zA-Z]{2,}"
+_EMOJI_RANGES = [
+    ("1F600", "1F64F"), ("1F300", "1F5FF"), ("1F680", "1F6FF"),
+    ("1F700", "1F77F"), ("1F780", "1F7FF"), ("1F800", "1F8FF"),
+    ("1F900", "1F9FF"), ("1FA00", "1FA6F"), ("1FA70", "1FAFF"),
+    ("2702", "27B0"), ("24C2", "1F251"),
+]
+RX_EMOJI = "[" + "".join(f"\\x{{{a}}}-\\x{{{b}}}" for a, b in _EMOJI_RANGES) + "]+"
+
+
+def _h60_spark(e: str) -> str:
+    return f"cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
+
+
+def _h60_duck(e: str) -> str:
+    return f"(('0x' || substr(md5({e}), 1, 15))::bigint)"
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_rule_length(spark, sf_dir):
+    """F1 min-length check (rule_filter.py:34-45) as native exprs."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_len"),
+        (F.length("text") >= DEFAULT.rule.min_text_length).alias("pass_length"),
+    )
+
+
+def q_rule_avg_line_length(spark, sf_dir):
+    """F2 avg non-empty-line length (rule_filter.py:47-63), native."""
+    lines = "filter(split(text, '\\n'), l -> trim(l) <> '')"
+    avg = (
+        f"case when size({lines}) > 0 then "
+        f"cast(aggregate({lines}, 0, (acc, l) -> acc + length(l)) as double)"
+        f" / size({lines}) else 0.0 end"
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(F.expr(avg), 9).alias("avg_line_len"),
+        F.expr(
+            f"size({lines}) > 0 and ({avg}) >= {DEFAULT.rule.min_avg_line_length}"
+        ).alias("pass_avg_line"),
+    )
+
+
+def q_rule_char_ratios(spark, sf_dir):
+    """F3/F4/F6/F7 character-class ratios (rule_filter.py:65-139), native.
+    Patterns passed via lit() (no SQL-literal escaping); counts via
+    regexp_count == Python findall length (non-overlapping)."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    cjk = F.regexp_count("text", F.lit(RX_CJK))
+    sym = F.regexp_count("text", F.lit(RX_SYMBOL))
+    vbar = F.length("text") - F.length(F.replace(F.col("text"), F.lit("|"), F.lit("")))
+    comma = F.length("text") - F.length(F.replace(F.col("text"), F.lit(","), F.lit("")))
+    return d.select(
+        "doc_id",
+        F.round(cjk / n, 9).alias("chinese_ratio"),
+        F.round(sym / n, 9).alias("symbol_ratio"),
+        F.round(vbar / n, 9).alias("vbar_ratio"),
+        F.round(comma / n, 9).alias("comma_ratio"),
+        ((n > 0) & (cjk / n >= DEFAULT.rule.min_chinese_ratio)).alias("pass_chinese"),
+        ((n > 0) & (sym / n <= DEFAULT.rule.max_symbol_ratio)).alias("pass_symbol"),
+        ((n > 0) & (vbar / n <= DEFAULT.rule.max_vertical_bar_ratio)).alias("pass_vbar"),
+        ((n > 0) & (comma / n <= DEFAULT.rule.max_comma_ratio)).alias("pass_comma"),
+    )
+
+
+def q_rule_url_emoji(spark, sf_dir):
+    """F8 URL density + F9 emoji-run ratio (rule_filter.py:141-177). The
+    emoji pattern keeps the reference's trailing '+' — it counts RUNS."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    urls = F.regexp_count("text", F.lit(RX_URL))
+    emoji = F.regexp_count("text", F.lit(RX_EMOJI))
+    return d.select(
+        "doc_id",
+        F.round(urls / n, 9).alias("url_density"),
+        F.round(emoji / n, 9).alias("emoji_ratio"),
+        ((n > 0) & (urls / n <= DEFAULT.rule.max_url_density)).alias("pass_url"),
+        ((n > 0) & (emoji / n <= DEFAULT.rule.max_emoji_ratio)).alias("pass_emoji"),
+    )
+
+
+def q_rule_dup13(spark, sf_dir):
+    """F5 13-gram internal duplication (rule_filter.py:179-204), native."""
+    grams = "transform(sequence(1, length(text) - 12), i -> substring(text, i, 13))"
+    dup = (
+        f"case when length(text) >= 13 then "
+        f"1.0 - cast(size(array_distinct({grams})) as double) / size({grams}) "
+        f"else 0.0 end"
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(F.expr(dup), 9).alias("dup13_ratio"),
+        F.expr(f"({dup}) <= {DEFAULT.rule.max_internal_dup_ratio}").alias("pass_dup13"),
+    )
+
+
+def q_scrub_text(spark, sf_dir):
+    """DFA scrub (sensitive_filter.py:72-104) through the REAL pandas UDF
+    with the overlap-free English lexicon; oracle = chained replace."""
+    d = load(spark, sf_dir, "documents")
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    return d.select("doc_id", scrub_udf(bc)(F.col("text")).alias("scrubbed_text"))
+
+
+def q_feature_eval(spark, sf_dir):
+    """Feature density + banded score (feature_words.py:170-314) through the
+    REAL quality UDF with the English lexicon."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    out = with_quality(d, bc, DEFAULT)
+    return out.select(
+        "doc_id",
+        F.col("feature_count").cast("bigint").alias("feature_count"),
+        F.round("avg_feature_per_line", 9).alias("avg_feature_per_line"),
+        F.col("feature_passed"),
+        F.col("feature_score"),
+    )
+
+
+def q_quality_keep(spark, sf_dir):
+    """FLAGSHIP: full keep/drop decision (main.py:135-251) through the real
+    pipeline UDF; the oracle recomputes every partial score in SQL."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    out = with_quality(d, bc, DEFAULT)
+    return out.select(
+        "doc_id",
+        F.col("rule_passed"),
+        F.round("rule_score", 9).alias("rule_score"),
+        F.col("feature_score"),
+        F.round("quality_score", 9).alias("quality_score"),
+        F.col("keep"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents")).select(
+        "text_md5", F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=5, threshold=0.5
+    ).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signature rows (doc_id, slot, minhash) — UDF path, h60-seeded;
+    16 slots keep the oracle tractable."""
+    d = load(spark, sf_dir, "documents")
+    signed = dedup.with_minhash(d, _SMALL_MINHASH)
+    return signed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("minhash").alias("slot", "minhash"),
+    ).select("doc_id", F.col("slot").cast("bigint"), "minhash")
+
+
+def q_lsh_band_keys(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    signed = dedup.with_minhash(d, _SMALL_MINHASH)
+    return signed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("band_keys").alias("band", "band_key"),
+    ).select("doc_id", F.col("band").cast("bigint"), "band_key")
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_similarity_pairs(
+        load(spark, sf_dir, "documents"), _SMALL_MINHASH
+    ).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+        F.round("est_jaccard", 9).alias("est_jaccard"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_df(load(spark, sf_dir, "documents")).select(
+        F.col("id").cast("bigint").alias("doc_id"), "simhash"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return textanalysis.fingerprint_winnow(load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("bigint"), "fingerprint"
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    t = textanalysis.token_stats(load(spark, sf_dir, "documents"))
+    return t.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_tokens").cast("bigint"),
+        F.col("n_distinct_tokens").cast("bigint"),
+        F.round("avg_token_len", 9).alias("avg_token_len"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    t = textanalysis.langid_relational(load(spark, sf_dir, "documents"))
+    return t.select(
+        F.col("doc_id").cast("bigint"), "lang_pred",
+        F.col("top_hits").cast("bigint"), F.col("n_tokens").cast("bigint"),
+    )
+
+
+def q_ngram_train(spark, sf_dir):
+    return perplexity.ngram_counts(load(spark, sf_dir, "documents"), n=3).select(
+        "context", "word", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def q_ngram_perplexity(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    model = perplexity.ngram_counts(docs, n=3)
+    return perplexity.perplexity_relational(docs, model, n=3).select(
+        F.col("doc_id").cast("bigint"),
+        F.round("ppl", 2).alias("ppl"),
+        F.round("neg_avg_log2p", 7).alias("neg_avg_log2p"),
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(load(spark, sf_dir, "embeddings"), k=5).select(
+        F.col("vec_id").cast("bigint"), F.col("neighbor_id").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"), F.col("rank").cast("bigint"),
+    )
+
+
+def q_ann_buckets(spark, sf_dir):
+    return similarity.rp_lsh_buckets(
+        load(spark, sf_dir, "embeddings"), n_planes=8, dim=64
+    ).select(F.col("vec_id").cast("bigint"), F.col("bucket").cast("bigint"))
+
+
+def q_quality_rollup(spark, sf_dir):
+    r = textanalysis.quality_stats_rollup(load(spark, sf_dir, "documents"))
+    return r.select(
+        "lang", "source", F.col("n_docs").cast("bigint"),
+        F.col("total_chars").cast("bigint"),
+        F.round("avg_chars", 9).alias("avg_chars"),
+        F.col("min_chars").cast("bigint"), F.col("max_chars").cast("bigint"),
+    )
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata (the decode
+    step itself is stubbed — see operators/multimodal.py)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+    )
+
+
+def q_orders_rollup(spark, sf_dir):
+    """Relational breadth check: broadcast-dim join chain + hash agg over the
+    TPC-H-ish tables (the engine's A1-style metrics shape at warehouse scale)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            # exact decimal accumulation -> deterministic across engines,
+            # then a single double conversion
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rule_length_check": q_rule_length,
+    "rule_avg_line_length": q_rule_avg_line_length,
+    "rule_char_ratios": q_rule_char_ratios,
+    "rule_url_emoji": q_rule_url_emoji,
+    "rule_dup13": q_rule_dup13,
+    "scrub_text": q_scrub_text,
+    "feature_eval": q_feature_eval,
+    "quality_keep": q_quality_keep,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_band_keys": q_lsh_band_keys,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "simhash": q_simhash,
+    "fingerprint_winnow": q_fingerprint,
+    "token_stats": q_token_stats,
+    "langid_stopwords": q_langid,
+    "ngram_lm_train": q_ngram_train,
+    "ngram_perplexity": q_ngram_perplexity,
+    "cosine_topk": q_cosine_topk,
+    "ann_lsh_buckets": q_ann_buckets,
+    "quality_stats_rollup": q_quality_rollup,
+    "binary_meta": q_binary_meta,
+    "orders_rollup": q_orders_rollup,
+}

@@ -1,0 +1,471 @@
+"""DuckDB oracle SQL for every entry in plans/catalog.QUERIES.
+
+Each SQL string recomputes the corresponding query's result independently in
+DuckDB (tables pre-registered as views by the driver). The arithmetic mirrors
+the Spark side operation-for-operation (same literals, same left-associative
+float chains, same md5-h60 hashing) so order-insensitive value hashes match.
+
+Dialect mapping used throughout:
+  Spark                          DuckDB
+  conv(substr(md5(x),1,15),16,10)  ('0x'||substr(md5(x),1,15))::bigint
+  regexp_count(c, p)               len(regexp_extract_all(c, p))
+  transform(sequence(a,b), f)      list_transform(generate_series(a,b), f)
+  aggregate(l, 0, (a,x)->a+x)      list_sum(l)
+  slice(l, i, n)                   l[i : i+n-1]      (both 1-based inclusive)
+  split(s, ' ')                    string_split(s, ' ')
+"""
+
+from __future__ import annotations
+
+from ..config import DEFAULT
+from ..functions.hashing import h60
+from ..functions.langid import STOPWORDS
+from .catalog import EN_LEXICON, RX_CJK, RX_EMOJI, RX_SYMBOL, RX_URL, _SMALL_MINHASH
+
+R = DEFAULT.rule
+
+
+def _h60(e: str) -> str:
+    return f"(('0x' || substr(md5({e}), 1, 15))::bigint)"
+
+
+def _rx_count(col: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
+# --- shared CTE fragments -------------------------------------------------
+
+_SHINGLES5 = (
+    "select doc_id, unnest(case when length(text) < 5 then [text] else "
+    "list_distinct(list_transform(generate_series(1, length(text) - 4), "
+    "i -> substr(text, i, 5))) end) as shingle from documents"
+)
+
+_NH = _SMALL_MINHASH.num_hashes
+_NB = _SMALL_MINHASH.num_bands
+_ROWS = _NH // _NB
+
+_SIG = (
+    "select doc_id, i as slot, "
+    "min(('0x' || substr(md5(cast(i as varchar) || '|' || shingle), 1, 15))::bigint) as minhash "
+    f"from sh cross join (select unnest(generate_series(0, {_NH - 1})) as i) seeds "
+    "group by doc_id, i"
+)
+
+_BANDS = (
+    "select doc_id, b as band, (('0x' || substr(md5(cast(b as varchar) || '|' || "
+    f"array_to_string(sig[b * {_ROWS} + 1 : b * {_ROWS} + {_ROWS}], ',')), 1, 15))::bigint) as band_key "
+    "from (select doc_id, list(minhash order by slot) as sig from sig group by doc_id) "
+    f"cross join (select unnest(generate_series(0, {_NB - 1})) as b) bands"
+)
+
+
+def _lines() -> str:
+    return "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
+
+
+def _avg_line() -> str:
+    lines = _lines()
+    return (
+        f"case when len({lines}) > 0 then "
+        f"list_sum(list_transform({lines}, l -> length(l)))::double / len({lines}) "
+        "else 0.0 end"
+    )
+
+
+def _dup13() -> str:
+    grams = (
+        "list_transform(generate_series(1, length(text) - 12), i -> substr(text, i, 13))"
+    )
+    return (
+        "case when length(text) >= 13 then "
+        f"1.0 - len(list_distinct({grams}))::double / (length(text) - 12) "
+        "else 0.0 end"
+    )
+
+
+def _occ(col: str, w: str) -> str:
+    """Non-overlapping occurrence count of literal w (== DFA matches for the
+    overlap-free EN_LEXICON)."""
+    return f"((length({col}) - length(replace({col}, '{w}', ''))) // {len(w)})"
+
+
+def _scrub_chain() -> str:
+    out = "lower(text)"
+    for w in EN_LEXICON:
+        out = f"replace({out}, '{w}', '{'*' * len(w)}')"
+    return out
+
+
+def _feature_cte() -> str:
+    """Per-doc feature stats over EN_LEXICON (feature_words.py semantics on a
+    lexicon whose DFA matches == literal occurrence counts)."""
+    lower_occ = " + ".join(_occ("lower(text)", w) for w in EN_LEXICON)
+    distinct_words = " + ".join(
+        f"case when {_occ('lower(text)', w)} > 0 then 1 else 0 end" for w in EN_LEXICON
+    )
+    line_occ = " + ".join(_occ("lower(l)", w) for w in EN_LEXICON)
+    lines = _lines()  # non-blank lines (reference counts matches on those)
+    line_sum = (
+        f"list_sum(list_transform({lines}, l -> {line_occ}))"
+    )
+    valid = "len(list_filter(string_split(text, chr(10)), l -> length(trim(l)) >= 5))"
+    return f"""
+  select doc_id, length(text) as flen,
+    ({lower_occ}) as feature_count,
+    ({distinct_words}) as distinct_feature_words,
+    case when {valid} > 0 then coalesce({line_sum}, 0)::double / {valid} else 0.0 end as avg_feature_per_line
+  from documents
+"""
+
+
+def _feature_score() -> str:
+    """Banded score (feature_words.py:231-314): ratio = distinct_matches /
+    (chars/10); no high-weight/common/negative-context hits possible on the
+    ASCII corpus (all are CJK or contain '.' / ':' absent from the vocab)."""
+    ratio = "(distinct_feature_words / (flen / 10))"
+    return (
+        "case when flen = 0 then 0.0 "
+        f"when {ratio} > 0.2 then 0.0 "
+        f"when {ratio} > 0.1 then 0.2 "
+        f"when {ratio} > 0.05 then 0.5 "
+        f"when {ratio} > 0.01 then 0.8 "
+        "else 1.0 end"
+    )
+
+
+def _rule_stats_cte() -> str:
+    return f"""
+  select doc_id, text, length(text) as n,
+    {_avg_line()} as avg_line,
+    len({_lines()}) as n_lines,
+    {_rx_count('text', RX_CJK)} as cjk,
+    {_rx_count('text', RX_SYMBOL)} as sym,
+    (length(text) - length(replace(text, '|', ''))) as vbar,
+    (length(text) - length(replace(text, ',', ''))) as comma,
+    {_rx_count('text', RX_URL)} as urls,
+    {_rx_count('text', RX_EMOJI)} as emoji,
+    {_dup13()} as dup13
+  from documents
+"""
+
+
+def _rule_flags() -> dict[str, str]:
+    return {
+        "length_check": f"(n >= {R.min_text_length})",
+        "avg_line_check": f"(n_lines > 0 and avg_line >= {R.min_avg_line_length})",
+        "chinese_check": f"(n > 0 and cjk / n >= {R.min_chinese_ratio})",
+        "symbol_check": f"(n > 0 and sym / n <= {R.max_symbol_ratio})",
+        "dup_check": f"(dup13 <= {R.max_internal_dup_ratio})",
+        "vbar_check": f"(n > 0 and vbar / n <= {R.max_vertical_bar_ratio})",
+        "comma_check": f"(n > 0 and comma / n <= {R.max_comma_ratio})",
+        "url_check": f"(n > 0 and urls / n <= {R.max_url_density})",
+        "emoji_check": f"(n > 0 and emoji / n <= {R.max_emoji_ratio})",
+    }
+
+
+def _rule_score_sql() -> str:
+    """D1 weighted rule score (rule_filter.py:262-404), same float-op order
+    as functions/textstats.rule_score. The CJK SEO-spam regexes can never
+    match the ASCII corpus and are elided from the spam predicate here (the
+    vbar/url spam arms are kept verbatim)."""
+    f = _rule_flags()
+    s1 = f"case when {f['length_check']} then 1.0 else least(1.0, n / {R.min_text_length}) end"
+    s2 = (
+        f"case when {f['avg_line_check']} then 1.0 "
+        f"when n_lines > 0 then least(1.0, avg_line / {R.min_avg_line_length}) else 0.0 end"
+    )
+    s3 = f"case when {f['chinese_check']} then 1.0 else least(1.0, (case when n > 0 then cjk / n else 0.0 end) / {R.min_chinese_ratio}) end"
+    s4 = (
+        f"case when {f['symbol_check']} then 1.0 "
+        f"when sym = 0 then 1.0 "
+        f"else greatest(0.0, least(1.0, {R.max_symbol_ratio} / (sym / n))) end"
+    )
+    s5 = (
+        f"case when {f['dup_check']} then 1.0 "
+        "when n < 13 then 1.0 "
+        f"when dup13 > 0 then greatest(0.0, least(1.0, {R.max_internal_dup_ratio} / dup13)) else 1.0 end"
+    )
+    s6 = (
+        f"case when {f['vbar_check']} then 1.0 "
+        f"when vbar > 0 then greatest(0.0, least(0.5, {R.max_vertical_bar_ratio} / (vbar / n))) "
+        "else greatest(0.0, least(0.5, 1.0)) end"
+    )
+    s7 = (
+        f"case when {f['comma_check']} then 1.0 "
+        f"when comma > 0 then greatest(0.0, least(1.0, {R.max_comma_ratio} / (comma / n))) else 1.0 end"
+    )
+    s8 = (
+        f"case when {f['url_check']} then 1.0 "
+        f"when urls > 0 then greatest(0.0, least(0.3, {R.max_url_density} / (urls / n))) "
+        "else greatest(0.0, least(0.3, 1.0)) end"
+    )
+    s9 = (
+        f"case when {f['emoji_check']} then 1.0 "
+        f"when emoji > 0 then greatest(0.0, least(1.0, {R.max_emoji_ratio} / (emoji / n))) else 1.0 end"
+    )
+    weighted = (
+        f"(({s1}) * 0.05 + ({s2}) * 0.1 + ({s3}) * 0.15 + ({s4}) * 0.1 + ({s5}) * 0.1"
+        f" + ({s6}) * 0.2 + ({s7}) * 0.1 + ({s8}) * 0.1 + ({s9}) * 0.1)"
+        " / (0.05 + 0.1 + 0.15 + 0.1 + 0.1 + 0.2 + 0.1 + 0.1 + 0.1)"
+    )
+    spam = (
+        f"((contains(text, '|') and vbar / n > {R.max_vertical_bar_ratio} * 2)"
+        f" or (urls / n > {R.max_url_density} * 3))"
+    )
+    all_pass = " and ".join(f.values())
+    return (
+        f"case when {all_pass} then 1.0 "
+        f"when {spam} then ({weighted}) * 0.3 "
+        f"else ({weighted}) end"
+    )
+
+
+# --------------------------------------------------------------------- SQLs
+
+
+def build() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["rule_length_check"] = f"""
+select doc_id, length(text)::bigint as text_len,
+       length(text) >= {R.min_text_length} as pass_length
+from documents"""
+
+    o["rule_avg_line_length"] = f"""
+select doc_id, round({_avg_line()}, 9) as avg_line_len,
+       (len({_lines()}) > 0 and ({_avg_line()}) >= {R.min_avg_line_length}) as pass_avg_line
+from documents"""
+
+    o["rule_char_ratios"] = f"""
+with s as ({_rule_stats_cte()})
+select doc_id,
+  round(cjk / n, 9) as chinese_ratio,
+  round(sym / n, 9) as symbol_ratio,
+  round(vbar / n, 9) as vbar_ratio,
+  round(comma / n, 9) as comma_ratio,
+  (n > 0 and cjk / n >= {R.min_chinese_ratio}) as pass_chinese,
+  (n > 0 and sym / n <= {R.max_symbol_ratio}) as pass_symbol,
+  (n > 0 and vbar / n <= {R.max_vertical_bar_ratio}) as pass_vbar,
+  (n > 0 and comma / n <= {R.max_comma_ratio}) as pass_comma
+from s"""
+
+    o["rule_url_emoji"] = f"""
+with s as ({_rule_stats_cte()})
+select doc_id,
+  round(urls / n, 9) as url_density,
+  round(emoji / n, 9) as emoji_ratio,
+  (n > 0 and urls / n <= {R.max_url_density}) as pass_url,
+  (n > 0 and emoji / n <= {R.max_emoji_ratio}) as pass_emoji
+from s"""
+
+    o["rule_dup13"] = f"""
+select doc_id, round({_dup13()}, 9) as dup13_ratio,
+       ({_dup13()}) <= {R.max_internal_dup_ratio} as pass_dup13
+from documents"""
+
+    o["scrub_text"] = f"""
+select doc_id, {_scrub_chain()} as scrubbed_text from documents"""
+
+    o["feature_eval"] = f"""
+with feat as ({_feature_cte()})
+select doc_id,
+  feature_count::bigint as feature_count,
+  round(avg_feature_per_line, 9) as avg_feature_per_line,
+  (avg_feature_per_line <= {DEFAULT.feature.max_feature_words_per_line}) as feature_passed,
+  ({_feature_score()}) as feature_score
+from feat"""
+
+    o["quality_keep"] = f"""
+with s as ({_rule_stats_cte()}),
+feat as ({_feature_cte()}),
+scored as (
+  select s.doc_id,
+    ({' and '.join(_rule_flags().values())}) as rule_passed,
+    ({_rule_score_sql()}) as rule_score,
+    ({_feature_score()}) as feature_score
+  from s join feat on s.doc_id = feat.doc_id
+)
+select doc_id, rule_passed, round(rule_score, 9) as rule_score, feature_score,
+  round((rule_score * {DEFAULT.weight_rule} + feature_score * {DEFAULT.weight_feature})
+        / {DEFAULT.weight_rule + DEFAULT.weight_feature}, 9) as quality_score,
+  ((rule_score * {DEFAULT.weight_rule} + feature_score * {DEFAULT.weight_feature})
+        / {DEFAULT.weight_rule + DEFAULT.weight_feature}) >= {DEFAULT.quality_threshold} as keep
+from scored"""
+
+    o["dedup_exact"] = """
+select md5(text) as text_md5, min(doc_id)::bigint as keep_id,
+       count(*)::bigint as n_docs
+from documents group by md5(text)"""
+
+    o["ngram_jaccard_pairs"] = f"""
+with sh as ({_SHINGLES5}),
+sizes as (select doc_id as id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_inter
+  from sh a join sh b using (shingle)
+  where a.doc_id < b.doc_id
+  group by 1, 2)
+select id_a::bigint as id_a, id_b::bigint as id_b,
+       round(n_inter / (na.n + nb.n - n_inter), 9) as jaccard
+from inter
+join sizes na on na.id = id_a
+join sizes nb on nb.id = id_b
+where n_inter / (na.n + nb.n - n_inter) >= 0.5"""
+
+    o["minhash_signatures"] = f"""
+with sh as ({_SHINGLES5}),
+sig as ({_SIG})
+select doc_id::bigint as doc_id, slot::bigint as slot, minhash from sig"""
+
+    o["lsh_band_keys"] = f"""
+with sh as ({_SHINGLES5}),
+sig as ({_SIG})
+select doc_id::bigint as doc_id, band::bigint as band, band_key
+from ({_BANDS})"""
+
+    o["dedup_minhash_pairs"] = f"""
+with sh as ({_SHINGLES5}),
+sig as ({_SIG}),
+bandt as ({_BANDS}),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bandt a join bandt b using (band_key)
+  where a.doc_id < b.doc_id),
+agree as (
+  select c.id_a, c.id_b,
+         sum(case when sa.minhash = sb.minhash then 1 else 0 end) as agr
+  from cand c
+  join sig sa on sa.doc_id = c.id_a
+  join sig sb on sb.doc_id = c.id_b and sb.slot = sa.slot
+  group by 1, 2)
+select id_a::bigint as id_a, id_b::bigint as id_b,
+       round(agr / {_NH}, 9) as est_jaccard
+from agree where agr / {_NH} >= {_SMALL_MINHASH.similarity_threshold}"""
+
+    o["simhash"] = f"""
+with toks as (select doc_id as id, unnest(string_split(text, ' ')) as tok from documents),
+th as (select id, {_h60('tok')} as h from toks),
+bits as (
+  select id, bit, sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
+  from th cross join (select unnest(generate_series(0, 59)) as bit) b
+  group by id, bit)
+select id::bigint as doc_id,
+       sum(case when s > 0 then (1::bigint << bit) else 0::bigint end)::bigint as simhash
+from bits group by id"""
+
+    o["fingerprint_winnow"] = f"""
+select doc_id::bigint as doc_id,
+  list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+           i -> (('0x' || substr(md5(substr(text, i, 8)), 1, 15))::bigint))) as fingerprint
+from documents"""
+
+    o["token_stats"] = """
+select doc_id::bigint as doc_id,
+  len(string_split(text, ' '))::bigint as n_tokens,
+  len(list_distinct(string_split(text, ' ')))::bigint as n_distinct_tokens,
+  round(list_sum(list_transform(string_split(text, ' '), t -> length(t)))::double
+        / len(string_split(text, ' ')), 9) as avg_token_len
+from documents"""
+
+    hit_exprs = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), t -> lower(t) in ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = " ".join(f"when h_{lg} = {best} then '{lg}'" for lg in langs)
+    o["langid_stopwords"] = f"""
+with h as (
+  select doc_id, len(string_split(text, ' ')) as n_tokens,
+    {', '.join(f'{hit_exprs[lg]} as h_{lg}' for lg in langs)}
+  from documents)
+select doc_id::bigint as doc_id,
+  case when {best} = 0 then 'und' {case} else 'und' end as lang_pred,
+  {best}::bigint as top_hits, n_tokens::bigint as n_tokens
+from h"""
+
+    ngram_toks = "['<s>', '<s>'] || string_split(text, ' ') || ['</s>']"
+    o["ngram_lm_train"] = f"""
+with toks as (select ({ngram_toks}) as t from documents),
+grams as (
+  select unnest(list_transform(generate_series(3, len(t)),
+    i -> {{'context': array_to_string(t[i-2 : i-1], chr(31)), 'word': t[i]}}),
+    recursive := true)
+  from toks)
+select context, word, count(*)::bigint as cnt from grams group by 1, 2"""
+
+    o["ngram_perplexity"] = f"""
+with toks as (select doc_id, ({ngram_toks}) as t from documents),
+grams as (
+  select doc_id, unnest(list_transform(generate_series(3, len(t)),
+    i -> {{'context': array_to_string(t[i-2 : i-1], chr(31)), 'word': t[i]}}),
+    recursive := true)
+  from toks),
+model as (select context, word, count(*) as cnt from grams group by 1, 2),
+ctx as (select context, sum(cnt) as ctx_cnt from model group by 1),
+v as (select count(distinct tok) as v from (select unnest(string_split(text, ' ')) as tok from documents)),
+scored as (
+  select g.doc_id,
+    greatest(log2((coalesce(m.cnt, 0) + 0.1) / (coalesce(c.ctx_cnt, 0) + 0.1 * v.v)), -100.0) as log2p
+  from grams g
+  left join model m on m.context = g.context and m.word = g.word
+  left join ctx c on c.context = g.context
+  cross join v)
+select doc_id::bigint as doc_id, round(pow(2.0, -avg(log2p)), 2) as ppl,
+       round(-avg(log2p), 7) as neg_avg_log2p
+from scored group by doc_id"""
+
+    o["cosine_topk"] = """
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+n as (select vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) as nrm from v),
+p as (
+  select a.vec_id as vec_id, b.vec_id as neighbor_id,
+    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) as cos_sim
+  from n a, n b where a.vec_id <> b.vec_id),
+r as (select *, row_number() over (partition by vec_id order by cos_sim desc, neighbor_id) as rank from p)
+select vec_id::bigint as vec_id, neighbor_id::bigint as neighbor_id,
+       round(cos_sim, 6) as cos_sim, rank::bigint as rank
+from r where rank <= 5"""
+
+    # ann buckets: identical ±1 hyperplane sign chains, DuckDB dialect
+    from ..operators.similarity import hyperplane_sign_expr
+
+    def duck_sign(plane: int, dim: int = 64) -> str:
+        signs = [1 if h60(f"{plane}|{d}") & 1 else -1 for d in range(dim)]
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}(embedding[{d + 1}]::double))"
+            for d, s in enumerate(signs)
+        )
+        return f"(case when ({terms}) > 0 then 1 else 0 end)"
+
+    bucket = " + ".join(f"({duck_sign(p)}::bigint * {1 << p})" for p in range(8))
+    o["ann_lsh_buckets"] = f"""
+select vec_id::bigint as vec_id, ({bucket})::bigint as bucket from embeddings"""
+
+    o["quality_stats_rollup"] = """
+select lang, source, count(*)::bigint as n_docs,
+  sum(length(text))::bigint as total_chars,
+  round(avg(length(text)), 9) as avg_chars,
+  min(length(text))::bigint as min_chars,
+  max(length(text))::bigint as max_chars
+from documents group by lang, source"""
+
+    o["binary_meta"] = """
+select doc_id, strlen(text)::bigint as n_bytes, md5(text) as content_md5
+from documents"""
+
+    o["orders_rollup"] = """
+select r_name as region_name, count(*)::bigint as n_orders,
+  (sum(o_totalprice::decimal(18, 2)))::double as total_price
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name"""
+
+    return {k: v.strip() for k, v in o.items()}
