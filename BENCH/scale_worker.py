@@ -1,0 +1,81 @@
+"""Scaling-run worker: one JVM per parallelism level (spawned by
+run_scaling.py). Runs the headline stages on a deterministic generated corpus
+and prints one JSON line of stage timings."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(cpus: int, n_docs: int) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from chinese_corpus_cleaning_spark.operators import dedup
+    from chinese_corpus_cleaning_spark.operators.extract import with_extraction
+    from chinese_corpus_cleaning_spark.operators.quality import with_quality
+    from chinese_corpus_cleaning_spark.sources import gen
+    from chinese_corpus_cleaning_spark.sources.wordlists import broadcast_trie
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"ccc-scale-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    entrymod._ensure_pyfiles(spark)
+
+    # deterministic corpus, partitioned to the parallelism level; cache so
+    # timed stages exclude generation
+    docs = gen.docs_df(spark, n_docs, partitions=cpus * 4).cache()
+    docs.count()
+    trie_bc = broadcast_trie(spark)
+
+    # warm python workers
+    with_quality(docs.select("url", "text").limit(64), trie_bc).agg(
+        F.count(F.lit(1))
+    ).collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed(
+        "quality_scrub",
+        lambda: with_quality(docs.select("url", "text"), trie_bc)
+        .select(F.count(F.lit(1)), F.sum(F.col("keep").cast("long")))
+        .collect(),
+    )
+    timed(
+        "extract_langid",
+        lambda: with_extraction(docs)
+        .select(F.count(F.lit(1)), F.sum(F.col("is_zh").cast("long")))
+        .collect(),
+    )
+    timed(
+        "dedup_minhash",
+        lambda: dedup.dedup_representatives(
+            docs.select(F.col("url").alias("doc_id"), "text")
+        )
+        .agg(F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long")))
+        .collect(),
+    )
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "n_docs": n_docs, "timings": timings}))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]))

@@ -1,0 +1,164 @@
+"""Benchmark harness: headline pipeline + operator throughputs.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "docs_per_sec": ...}
+
+Stages:
+  quality_scrub    end-to-end keep/drop + scrub with the FULL 43k-word
+                   lexicon over the documents table (the headline workload)
+  extract_langid   html->text + repeat removal + langid over a generated
+                   CC-style corpus (sized by sf) — the reference's ingest path
+  rule_native      the nine rule checks as pure native exprs (JVM-only path)
+  dedup_minhash    MinHash signatures + banded LSH candidate pairs
+  ngram_ppl        n-gram LM train (explode+agg) + relational scoring
+  cosine_topk      brute-force all-pairs cosine top-5 over embeddings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ccc-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_bench(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from chinese_corpus_cleaning_spark.operators import dedup, perplexity, similarity
+    from chinese_corpus_cleaning_spark.operators.quality import with_quality
+    from chinese_corpus_cleaning_spark.plans import catalog
+    from chinese_corpus_cleaning_spark.sources import gen
+    from chinese_corpus_cleaning_spark.sources.wordlists import broadcast_trie
+
+    entrymod._ensure_pyfiles(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    trie_bc = broadcast_trie(spark)
+
+    sf_num = sf
+    n_gen = max(int(200_000 * sf_num), 2_000)
+    # generated CC-style corpus, cached once: input to extract_langid (html)
+    # and dedup_minhash (text); keeps stage timings free of generation cost
+    gen_docs = gen.docs_df(spark, n_gen, partitions=CPUS).cache()
+    gen_docs.count()
+
+    # warm python workers so the first timed UDF stage doesn't pay startup
+    with_quality(docs.select("doc_id", "text").limit(32), trie_bc).agg(
+        F.count(F.lit(1))
+    ).collect()
+
+    timed(
+        "quality_scrub",
+        lambda: with_quality(docs.select(F.col("doc_id"), "text"), trie_bc)
+        .select(F.count(F.lit(1)), F.sum(F.col("keep").cast("long")))
+        .collect(),
+    )
+
+    timed(
+        "extract_langid",
+        lambda: __import__(
+            "chinese_corpus_cleaning_spark.operators.extract", fromlist=["with_extraction"]
+        )
+        .with_extraction(gen_docs)
+        .select(F.count(F.lit(1)), F.sum(F.col("is_zh").cast("long")))
+        .collect(),
+    )
+
+    timed(
+        "rule_native",
+        lambda: catalog.q_rule_char_ratios(spark, sf_dir)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+
+    # near-dup join on the generated corpus: realistic near-dup families +
+    # one hot host (the word-salad documents table is degenerate for LSH —
+    # every doc collides with every other)
+    timed(
+        "dedup_minhash",
+        lambda: dedup.dedup_representatives(
+            gen_docs.select(F.col("url").alias("doc_id"), "text")
+        )
+        .agg(F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long")))
+        .collect(),
+    )
+
+    def _ppl():
+        model = perplexity.ngram_counts(docs, n=3)
+        perplexity.perplexity_relational(docs, model, n=3).agg(
+            F.count(F.lit(1))
+        ).collect()
+
+    timed("ngram_ppl", _ppl)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.limit(200)
+    timed(
+        "cosine_topk",
+        lambda: similarity.cosine_topk(emb, k=5, probes=probes)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+
+    timings["_n_docs"] = n_docs
+    return timings
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    try:
+        timings = run_bench(spark, SF_DIR)
+    finally:
+        spark.stop()
+    n_docs = timings.pop("_n_docs")
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "quality_filter_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec_quality_scrub": round(n_docs / timings["quality_scrub"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,21 +35,37 @@ def char_shingles(text: str, k: int = 5) -> list[str]:
     return list(seen)
 
 
-def minhash_signature(shingles: list[str], num_hashes: int = 128) -> list[int]:
-    """Seeded-min signature: sig[i] = min over shingles of h60(f"{i}|{sh}").
-    Empty shingle set -> all slots = 2**60 - 1 (sentinel max)."""
-    sentinel = 2**60 - 1
-    if not shingles:
-        return [sentinel] * num_hashes
-    sig = []
+# Affine-permutation MinHash: one md5 per shingle, then num_hashes cheap
+# integer permutations (a_i*h + b_i) mod P — the classic universal-hash
+# MinHash. P is the Mersenne prime 2^31-1; params come from h60 so every
+# engine derives the identical family. a_i*h + b_i <= (P-1)^2 + P < 2^63,
+# so the arithmetic is exact in int64 everywhere (Spark, DuckDB, Python).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
     for i in range(num_hashes):
-        prefix = f"{i}|"
-        sig.append(min(h60(prefix + sh) for sh in shingles))
-    return sig
+        a = h60(f"a{i}") % MINHASH_P
+        if a == 0:
+            a = 1
+        b = h60(f"b{i}") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(shingles: list[str], num_hashes: int = 128) -> list[int]:
+    """sig[i] = min over shingles of (a_i * (h60(sh) % P) + b_i) % P.
+    Empty shingle set -> all slots = P (sentinel; real slots are < P)."""
+    if not shingles:
+        return [MINHASH_P] * num_hashes
+    hs = [h60(sh) % MINHASH_P for sh in shingles]
+    return [min((a * h + b) % MINHASH_P for h in hs) for a, b in minhash_params(num_hashes)]
 
 
 def lsh_band_keys(sig: list[int], num_bands: int) -> list[int]:
-    """Band keys: h60 of "band_idx|v1,v2,..." over each contiguous slice."""
+    """Band keys: h60 of "band_idx|v1,v2,..." over each contiguous slice
+    (portable: same string is hashed in Spark SQL / DuckDB / Python)."""
     rows = len(sig) // num_bands
     return [
         h60(f"{b}|" + ",".join(str(v) for v in sig[b * rows : (b + 1) * rows]))

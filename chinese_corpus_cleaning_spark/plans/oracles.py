@@ -45,11 +45,16 @@ _NH = _SMALL_MINHASH.num_hashes
 _NB = _SMALL_MINHASH.num_bands
 _ROWS = _NH // _NB
 
+from ..functions.hashing import MINHASH_P, minhash_params
+
+_PERM_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(_NH))
+)
 _SIG = (
-    "select doc_id, i as slot, "
-    "min(('0x' || substr(md5(cast(i as varchar) || '|' || shingle), 1, 15))::bigint) as minhash "
-    f"from sh cross join (select unnest(generate_series(0, {_NH - 1})) as i) seeds "
-    "group by doc_id, i"
+    "select doc_id, slot, "
+    f"min((a * ((('0x' || substr(md5(shingle), 1, 15))::bigint) % {MINHASH_P}) + b) % {MINHASH_P}) as minhash "
+    f"from sh cross join (values {_PERM_ROWS}) perms(slot, a, b) "
+    "group by doc_id, slot"
 )
 
 _BANDS = (

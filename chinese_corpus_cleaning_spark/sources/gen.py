@@ -50,6 +50,20 @@ _NORMAL_SENTENCES = (
     "语言模型的困惑度可以作为文本流畅程度的一种量化指标。",
     "网络爬虫抓取的页面中存在大量模板化的噪声内容，需要仔细剔除。",
 )
+
+# large deterministic vocabulary of 2-char CJK "words" — normal prose is
+# composed from it so unrelated documents do NOT share 5-shingles (real
+# webtext is diverse; a 10-sentence pool made every doc a near-dup of every
+# other, which is degenerate for LSH benchmarks)
+_VOCAB = tuple(
+    chr(0x4E00 + (7 * i) % 3000) + chr(0x4E00 + (13 * i + 5) % 3000)
+    for i in range(2500)
+)
+
+
+def _sentence(rnd: random.Random) -> str:
+    n = rnd.randint(8, 18)
+    return "".join(rnd.choice(_VOCAB) for _ in range(n)) + "。"
 _SPAM_SEGMENTS = (
     "久久久久久日本一区99", "欧美日韩毛片一区", "99国产精品视频久久久久",
     "国产极品精频在线观看", "免费亚洲黄色", "美国毛片一级视频在线",
@@ -87,7 +101,9 @@ def _pick_class(rnd: random.Random) -> str:
 def _text_for(cls: str, rnd: random.Random, doc_id: int) -> str:
     if cls == "normal_zh":
         k = rnd.randint(4, 8)
-        return "\n".join(rnd.choice(_NORMAL_SENTENCES) for _ in range(k))
+        lines = [_sentence(rnd) for _ in range(k - 1)]
+        lines.insert(rnd.randrange(k), rnd.choice(_NORMAL_SENTENCES))
+        return "\n".join(lines)
     if cls == "seo_vbar_spam":
         k = rnd.randint(15, 30)
         return " | ".join(rnd.choice(_SPAM_SEGMENTS) for _ in range(k)) + " |"
@@ -99,12 +115,12 @@ def _text_for(cls: str, rnd: random.Random, doc_id: int) -> str:
         return "\n".join(lines)
     if cls == "ad_phone":
         phone = "13" + "".join(str(rnd.randint(0, 9)) for _ in range(9))
-        body = [rnd.choice(_NORMAL_SENTENCES)]
+        body = [_sentence(rnd)]
         for tpl in _AD_LINES:
             body.append(tpl.format(phone=phone, k=rnd.randint(1, 99)))
         return "\n".join(body)
     if cls == "sensitive_words":
-        body = [rnd.choice(_NORMAL_SENTENCES) for _ in range(2)]
+        body = [_sentence(rnd) for _ in range(2)]
         body += list(_SENSITIVE_LINES[: rnd.randint(1, 3)])
         return "\n".join(body)
     if cls == "mixed_spam":
@@ -118,21 +134,23 @@ def _text_for(cls: str, rnd: random.Random, doc_id: int) -> str:
             ]
         )
     if cls == "jumbled_repeat":
-        chunk = rnd.choice(_NORMAL_SENTENCES)
+        chunk = _sentence(rnd)
         return chunk * rnd.randint(4, 8)
     if cls == "near_dup":
+        # family members share an 8-sentence base; each non-base member
+        # appends one short unique sentence => shingle Jaccard ~0.9, above
+        # the 0.85 near-dup threshold (clustering.py:25-27)
         family = doc_id // _NEAR_DUP_FAMILY_SIZE
         frnd = random.Random(f"family{family}")
-        base = [frnd.choice(_NORMAL_SENTENCES) for _ in range(6)]
-        # small per-member mutation: swap one sentence
+        base = [_sentence(frnd) for _ in range(8)]
         member = doc_id % _NEAR_DUP_FAMILY_SIZE
         if member:
-            base[member % len(base)] = rnd.choice(_NORMAL_SENTENCES)
+            base.append("".join(rnd.choice(_VOCAB) for _ in range(4)) + "。")
         return "\n".join(base)
     if cls == "edge_1989":
         return (
             "1989年的历史事件与1989这个数字本身不同。\n"
-            + "\n".join(rnd.choice(_NORMAL_SENTENCES) for _ in range(4))
+            + "\n".join(_sentence(rnd) for _ in range(4))
         )
     raise ValueError(cls)
 
