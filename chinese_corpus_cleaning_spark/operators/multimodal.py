@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, decoded/featurized through Arrow-batched pandas UDFs.
+
+The reference is text-only; these operators extend the engine with the
+multimodal pathway a training-data pipeline needs. The container has no
+image/audio codecs, so the decode kernels are STUBBED exactly as documented:
+``decode_image``/``decode_audio`` raise NotImplementedError unless a codec
+library (PIL / soundfile) is importable, while ``fake_decode_meta`` is a
+deterministic stand-in that exercises the full Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — with real bytes.
+
+Scale notes:
+  * Binary payloads ride as parquet binary; metadata-only queries must never
+    deserialize them (column pruning — see tests).
+  * Decode is mapInPandas (iterator form) so one task streams many Arrow
+    batches without buffering the whole partition.
+  * maxRecordsPerBatch should be lowered for large blobs (a 4MB image x
+    10k-row default batch would OOM the worker; 64-256 rows is right).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not in sandbox
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+MEDIA_META_SCHEMA = (
+    "media_id string, n_bytes bigint, content_md5 string, "
+    "magic string, media_kind string"
+)
+
+_MAGIC = {
+    b"\xff\xd8\xff": ("jpeg", "image"),
+    b"\x89PNG": ("png", "image"),
+    b"GIF8": ("gif", "image"),
+    b"RIFF": ("riff", "audio"),
+    b"OggS": ("ogg", "audio"),
+    b"\x1aE\xdf\xa3": ("mkv", "video"),
+}
+
+
+def sniff_media(blob: bytes | None) -> tuple[str, str]:
+    if not blob:
+        return ("empty", "unknown")
+    for magic, kind in _MAGIC.items():
+        if blob[: len(magic)] == magic:
+            return kind
+    return ("unknown", "unknown")
+
+
+def media_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Typed metadata over an opaque binary column via mapInPandas.
+    Iterator form: constant memory per task regardless of partition size."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                magic, kind = sniff_media(b)
+                rows.append(
+                    {
+                        "media_id": str(mid),
+                        "n_bytes": len(b),
+                        "content_md5": hashlib.md5(b).hexdigest(),
+                        "magic": magic,
+                        "media_kind": kind,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "content_md5", "magic", "media_kind"
+            ])
+
+    return df.select(id_col, blob_col).mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def decode_image(blob: bytes) -> "object":  # pragma: no cover - stub
+    """Real decode kernel — requires PIL, absent in this container."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; this container has no codecs. "
+            "Use fake_decode_meta for plumbing tests."
+        )
+    import io
+
+    return Image.open(io.BytesIO(blob))
+
+
+def fake_decode_meta(blob: bytes | None) -> dict:
+    """Deterministic decode stand-in: derives fake (width, height, channels)
+    from the content hash — stable across engines/runs, exercises the same
+    dataflow as a real decoder."""
+    import hashlib
+
+    if not blob:
+        return {"width": 0, "height": 0, "channels": 0}
+    h = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+    return {
+        "width": 64 + h % 1920,
+        "height": 64 + (h >> 8) % 1080,
+        "channels": 1 + (h >> 16) % 4,
+    }
+
+
+DECODE_SCHEMA = "media_id string, width int, height int, channels int"
+
+
+def decode_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """The decode stage with the stub kernel (swap fake_decode_meta for a
+    real decoder when codecs exist; the Spark plumbing is identical)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                m = fake_decode_meta(None if blob is None else bytes(blob))
+                m["media_id"] = str(mid)
+                rows.append(m)
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "channels"])
+
+    return df.select(id_col, blob_col).mapInPandas(batches, DECODE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, blob_col: str, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: 1 blob -> N frame rows (1:N mapInPandas
+    fan-out); frame extraction itself is the stubbed kernel (frame bytes =
+    deterministic slices so the fan-out shape is real)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                n_frames = max(1, len(b) // max(every_n, 1) // 64)
+                n_frames = min(n_frames, 16)
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "media_id": str(mid),
+                            "frame_idx": i,
+                            "frame_bytes": b[i * 64 : (i + 1) * 64],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, "media_id string, frame_idx int, frame_bytes binary"
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming quality filter.
+
+The reference is strictly batch (SURVEY.md §2.12 — no watermarks/state
+anywhere), but a continuously-crawled corpus is naturally a stream of pages.
+This module runs the SAME per-document operators (operators/quality.py UDFs
+are stateless map-side transforms, so they lift to streaming unchanged) over
+a file-source stream, with:
+
+  * ``readStream`` over an arriving-parquet directory (schema = the docs
+    table) or any other source the caller supplies;
+  * event-time windowed keep/drop metrics with a watermark for late pages
+    (the streaming analogue of the batch stats.json, main.py:310-312);
+  * ``foreachBatch`` labels sink — per-microbatch idempotent parquet append
+    keyed by batch id (exactly-once via sink-side dedup on re-run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from ..operators.quality import with_quality
+
+DOCS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "lang string, doc_class string"
+)
+
+
+def stream_from_directory(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def labeled_stream(
+    stream: DataFrame, trie_bc, cfg: PipelineConfig = DEFAULT
+) -> DataFrame:
+    """Stateless transform — identical column semantics to the batch plan."""
+    return with_quality(stream.select("url", "warc_ts", "text"), trie_bc, cfg)
+
+
+def windowed_metrics(
+    labeled: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Event-time keep/drop counters per warc_ts window, late data bounded by
+    the watermark (streaming stats.json)."""
+    return (
+        labeled.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("keep").cast("long")).alias("high_quality"),
+            F.sum((~F.col("keep") & F.col("error").isNull()).cast("long")).alias(
+                "low_quality"
+            ),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("error"),
+        )
+        .select(F.col("w.start").alias("window_start"), "total", "high_quality", "low_quality", "error")
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trie_bc,
+    cfg: PipelineConfig = DEFAULT,
+    await_seconds: float | None = None,
+):
+    """Start the streaming job: labels to parquet via foreachBatch (idempotent
+    per batch id), metrics to memory sink for inspection. Returns the two
+    StreamingQuery handles."""
+    labeled = labeled_stream(stream_from_directory(spark, input_dir), trie_bc, cfg)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/labels")
+        )
+
+    labels_q = (
+        labeled.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{output_dir}/_chk_labels")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # complete mode: append-mode windowed aggs only emit once the watermark
+    # passes a window's end, which never happens in a bounded availableNow
+    # run; complete re-emits all windows every trigger (fine for a small
+    # metrics table)
+    metrics_q = (
+        windowed_metrics(labeled)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ccc_stream_metrics")
+        .option("checkpointLocation", f"{output_dir}/_chk_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_seconds is not None:
+        labels_q.awaitTermination(await_seconds)
+        metrics_q.awaitTermination(await_seconds)
+    return labels_q, metrics_q

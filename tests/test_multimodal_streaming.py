@@ -1,0 +1,104 @@
+"""Multimodal binary plumbing + Structured Streaming pipeline tests."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from chinese_corpus_cleaning_spark.functions.dfa import build_trie
+from chinese_corpus_cleaning_spark.operators import multimodal
+from chinese_corpus_cleaning_spark.sources import gen
+from chinese_corpus_cleaning_spark.sources.wordlists import SMALL_LEXICON
+from chinese_corpus_cleaning_spark.streaming import stream_pipeline
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("a", b"\xff\xd8\xff\xe0" + b"x" * 500),
+        ("b", b"\x89PNG\r\n" + b"y" * 2000),
+        ("c", b"RIFF....WAVE" + b"z" * 100),
+        ("d", None),
+        ("e", b"plain bytes, no magic"),
+    ]
+    return spark.createDataFrame(rows, "media_id string, blob binary")
+
+
+def test_media_meta(spark, media_df):
+    out = {r["media_id"]: r for r in multimodal.media_meta(media_df, "media_id", "blob").collect()}
+    assert out["a"]["magic"] == "jpeg" and out["a"]["media_kind"] == "image"
+    assert out["b"]["magic"] == "png"
+    assert out["c"]["media_kind"] == "audio"
+    assert out["d"]["n_bytes"] == 0 and out["d"]["magic"] == "empty"
+    assert out["e"]["magic"] == "unknown"
+    assert out["a"]["n_bytes"] == 504
+
+
+def test_decode_meta_deterministic(spark, media_df):
+    a = multimodal.decode_meta(media_df, "media_id", "blob").collect()
+    b = multimodal.decode_meta(media_df.repartition(3), "media_id", "blob").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    byid = {r["media_id"]: r for r in a}
+    assert byid["a"]["width"] >= 64 and byid["a"]["channels"] in (1, 2, 3, 4)
+    assert byid["d"]["width"] == 0
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_frame_sample_fanout(spark, media_df):
+    frames = multimodal.frame_sample_plan(media_df, "media_id", "blob", every_n=1).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # bigger blob -> more frames, capped at 16
+    assert len(by_id["b"]) > len(by_id["c"])
+    assert all(len(v) <= 16 for v in by_id.values())
+    assert by_id["b"][0]["frame_bytes"] is not None
+
+
+def test_streaming_pipeline_matches_batch(spark, tmp_path):
+    from chinese_corpus_cleaning_spark.operators.quality import with_quality
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    pdf = gen.docs_pandas(120)
+    docs = spark.createDataFrame(pdf)
+    docs.write.parquet(in_dir)
+
+    trie_bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    q1, q2 = stream_pipeline.run_stream(spark, in_dir, out_dir, trie_bc)
+    for q in (q1, q2):
+        q.awaitTermination(120)
+    assert not q1.isActive and not q2.isActive
+
+    stream_labels = spark.read.parquet(f"{out_dir}/labels")
+    batch_labels = with_quality(docs.select("url", "warc_ts", "text"), trie_bc)
+    s = {r["url"]: (r["keep"], r["quality_score"]) for r in stream_labels.collect()}
+    b = {r["url"]: (r["keep"], r["quality_score"]) for r in batch_labels.collect()}
+    assert s == b
+
+    metrics = spark.sql("select * from ccc_stream_metrics").collect()
+    assert sum(r["total"] for r in metrics) == 120
+    assert sum(r["high_quality"] for r in metrics) == sum(1 for v in b.values() if v[0])
+
+
+def test_media_meta_prunes_other_columns(spark, tmp_path):
+    """Metadata queries over a mixed table must not read unrelated columns."""
+    import contextlib, io
+
+    path = str(tmp_path / "media")
+    df = spark.createDataFrame(
+        [("a", b"\x89PNG", "big other column " * 100)],
+        "media_id string, blob binary, other string",
+    )
+    df.write.parquet(path)
+    out = multimodal.media_meta(spark.read.parquet(path), "media_id", "blob")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    read_schema = [ln for ln in buf.getvalue().splitlines() if "ReadSchema" in ln][0]
+    assert "other" not in read_schema
