@@ -1,0 +1,87 @@
+"""Event-stream analytics over the events table: sessionization, tumbling
+windows, per-user top-k, JSON property extraction.
+
+The reference has no event data (SURVEY.md §2.12 — no windows/sessions), but
+a crawl-pipeline engine needs these shapes for its operational telemetry
+(page-fetch events, per-host rate windows, lineage heartbeats). All native
+DataFrame ops — window functions, date_trunc buckets, get_json_object — with
+exact DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes. Returns one row per session:
+    (user_id, session_id, n_events, session_start, session_end, total_value).
+
+    Plan shape: one shuffle on user_id (window partition), then lag/cumsum —
+    no self-joins. At scale the window partition key is the natural
+    distribution key; skewed power-users split via AQE."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # interval arithmetic: timezone-free (works for TIMESTAMP_NTZ), exact,
+    # and identical in the DuckDB oracle
+    prev = F.lag("ts").over(w)
+    gap_over = F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
+    sess = (
+        events.withColumn(
+            "new_session",
+            F.when(prev.isNull() | gap_over, 1).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum("value").alias("total_value"),
+        )
+        .withColumnRenamed("session_seq", "session_id")
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: (hour, event_type, n, total).
+    date_trunc keeps the bucket expression portable to the DuckDB oracle."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+def topk_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k users per event_type by summed value (dense ranking, id
+    tie-break): (event_type, user_id, total_value, rank)."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """Extract the props JSON field k as an int column (native JSON path)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )

@@ -138,3 +138,60 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold — the reference's embedding-cosine
+    duplicate criterion (clustering.py:169-185) as a relational self-join.
+    Returns (id_a, id_b, cos_sim), a < b. Exact form for oracle checking;
+    at scale feed rp_lsh_buckets candidates instead of the cross join."""
+    n = with_norm(vectors, vec_col)
+    a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.expr(_dot("_va", "_vb")) / (F.col("_na") * F.col("_nb")))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def duplicate_ratio(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector max cosine vs the rest of the corpus — the reference's
+    get_duplicate_ratio (clustering.py:169-185). (vec_id, dup_ratio)."""
+    n = with_norm(vectors, vec_col)
+    a = n.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"))
+    b = n.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("cos", F.expr(_dot("_va", "_vb")) / (F.col("_na") * F.col("_nb")))
+        .groupBy(F.col("qid").alias("vec_id"))
+        .agg(F.max("cos").alias("dup_ratio"))
+    )
+
+
+def cluster_score_col(dup_ratio_col: str, threshold: float = 0.85):
+    """J3 cluster score (clustering.py:187-207) as a native Column:
+      ratio >= thr: max(0, 0.2 * (1 - (ratio - thr)/(1 - thr)))
+      else:        min(1, 0.8 + 0.2 * (1 - ratio/thr))
+    """
+    r = F.col(dup_ratio_col)
+    over = F.greatest(
+        F.lit(0.0),
+        F.lit(0.2) * (F.lit(1.0) - (r - F.lit(threshold)) / F.lit(1.0 - threshold)),
+    )
+    under = F.least(
+        F.lit(1.0), F.lit(0.8) + F.lit(0.2) * (F.lit(1.0) - r / F.lit(threshold))
+    )
+    return F.when(r >= F.lit(threshold), over).otherwise(under)

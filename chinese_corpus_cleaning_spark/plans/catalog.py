@@ -372,3 +372,119 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_meta": q_binary_meta,
     "orders_rollup": q_orders_rollup,
 }
+
+
+# ---- events analytics, embedding near-dup, full 4-component composite ----
+
+from ..operators import events as _events  # noqa: E402
+from ..operators import similarity as _sim  # noqa: E402
+
+
+def q_events_sessionize(spark, sf_dir):
+    s = _events.sessionize(load(spark, sf_dir, "events"))
+    return s.select(
+        F.col("user_id").cast("bigint"),
+        F.col("session_id").cast("bigint"),
+        F.col("n_events").cast("bigint"),
+        "session_start",
+        "session_end",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    h = _events.hourly_rollup(load(spark, sf_dir, "events"))
+    return h.select(
+        "hour", "event_type", F.col("n_events").cast("bigint"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def q_events_topk_users(spark, sf_dir):
+    t = _events.topk_users_by_value(load(spark, sf_dir, "events"), k=10)
+    return t.select(
+        "event_type", F.col("user_id").cast("bigint"),
+        F.round("total_value", 6).alias("total_value"),
+        F.col("rank").cast("bigint"),
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    return _events.json_props(load(spark, sf_dir, "events")).select(
+        F.col("event_id").cast("bigint"), F.col("prop_k").cast("bigint")
+    )
+
+
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    p = _sim.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), 0.85)
+    return p.select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
+def q_embedding_cluster_score(spark, sf_dir):
+    d = _sim.duplicate_ratio(load(spark, sf_dir, "embeddings"))
+    return d.select(
+        F.col("vec_id").cast("bigint"),
+        F.round("dup_ratio", 6).alias("dup_ratio"),
+        F.round(_sim.cluster_score_col("dup_ratio", 0.85), 6).alias("cluster_score"),
+    )
+
+
+# python-computed weight literals, inlined identically into the oracle SQL
+W_FULL_TOTAL = (
+    DEFAULT.weight_rule
+    + DEFAULT.weight_feature
+    + DEFAULT.weight_perplexity
+    + DEFAULT.weight_clustering
+)
+
+
+def q_quality_keep_full(spark, sf_dir):
+    """Full 4-component composite (main.py:219-251 with every component
+    enabled): rule + feature from the real UDF pipeline, perplexity from the
+    relational n-gram scorer, clustering from embedding duplicate-ratio
+    (docs joined to embeddings on doc_id = vec_id for the fixture corpus)."""
+    from ..operators import perplexity as _ppl
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    base = with_quality(d, bc, DEFAULT).select(
+        "doc_id", "rule_score", "feature_score"
+    )
+    model = _ppl.ngram_counts(d, n=3)
+    ppl = _ppl.perplexity_relational(d, model, n=3).select(
+        "doc_id", _ppl.ppl_score_col("ppl").alias("ppl_score")
+    )
+    clus = _sim.duplicate_ratio(load(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"),
+        _sim.cluster_score_col("dup_ratio", 0.85).alias("cluster_score"),
+    )
+    joined = base.join(ppl, "doc_id").join(clus, "doc_id")
+    score = (
+        F.col("rule_score") * F.lit(DEFAULT.weight_rule)
+        + F.col("feature_score") * F.lit(DEFAULT.weight_feature)
+        + F.col("ppl_score") * F.lit(DEFAULT.weight_perplexity)
+        + F.col("cluster_score") * F.lit(DEFAULT.weight_clustering)
+    ) / F.lit(W_FULL_TOTAL)
+    return joined.select(
+        F.col("doc_id").cast("bigint"),
+        F.round("ppl_score", 6).alias("ppl_score"),
+        F.round("cluster_score", 6).alias("cluster_score"),
+        F.round(score, 6).alias("quality_score_full"),
+        (score >= F.lit(DEFAULT.quality_threshold)).alias("keep_full"),
+    )
+
+
+QUERIES.update(
+    {
+        "events_sessionize": q_events_sessionize,
+        "events_hourly": q_events_hourly,
+        "events_topk_users": q_events_topk_users,
+        "events_json_props": q_events_json_props,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+        "embedding_cluster_score": q_embedding_cluster_score,
+        "quality_keep_full": q_quality_keep_full,
+    }
+)

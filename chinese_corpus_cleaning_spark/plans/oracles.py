@@ -473,4 +473,133 @@ join nation on c_nationkey = n_nationkey
 join region on n_regionkey = r_regionkey
 group by r_name"""
 
+    o.update(build_extra())
+    return {k: v.strip() for k, v in o.items()}
+
+
+def build_extra() -> dict[str, str]:
+    """Oracles for the events / embedding / full-composite queries."""
+    from .catalog import W_FULL_TOTAL
+
+    o: dict[str, str] = {}
+
+    o["events_sessionize"] = """
+with e as (
+  select user_id, ts, value,
+    case when lag(ts) over w is null
+           or ts - lag(ts) over w > interval 30 minutes
+         then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts)),
+s as (
+  select *, sum(new_session) over (partition by user_id order by ts
+                                   rows unbounded preceding) as session_id
+  from e)
+select user_id::bigint as user_id, session_id::bigint as session_id,
+  count(*)::bigint as n_events, min(ts) as session_start,
+  max(ts) as session_end, round(sum(value), 6) as total_value
+from s group by user_id, session_id"""
+
+    o["events_hourly"] = """
+select date_trunc('hour', ts) as hour, event_type,
+  count(*)::bigint as n_events, round(sum(value), 6) as total_value
+from events group by 1, 2"""
+
+    o["events_topk_users"] = """
+with per_user as (
+  select event_type, user_id, sum(value) as total_value
+  from events group by 1, 2),
+r as (
+  select *, row_number() over (partition by event_type
+            order by total_value desc, user_id asc) as rank
+  from per_user)
+select event_type, user_id::bigint as user_id,
+  round(total_value, 6) as total_value, rank::bigint as rank
+from r where rank <= 10"""
+
+    o["events_json_props"] = """
+select event_id::bigint as event_id,
+  json_extract_string(props, '$.k')::bigint as prop_k
+from events"""
+
+    _vn = """
+v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+n as (select vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) as nrm from v)"""
+    _dot = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))"
+
+    o["embedding_near_dup_pairs"] = f"""
+with {_vn}
+select a.vec_id::bigint as id_a, b.vec_id::bigint as id_b,
+  round({_dot} / (a.nrm * b.nrm), 6) as cos_sim
+from n a, n b
+where a.vec_id < b.vec_id and {_dot} / (a.nrm * b.nrm) >= 0.85"""
+
+    thr = 0.85
+    one_minus = repr(1.0 - thr)
+    cluster_case = (
+        f"case when dup_ratio >= {thr} then "
+        f"greatest(0.0, 0.2 * (1.0 - (dup_ratio - {thr}) / {one_minus})) "
+        f"else least(1.0, 0.8 + 0.2 * (1.0 - dup_ratio / {thr})) end"
+    )
+    dup_ratio_cte = f"""
+with {_vn},
+d as (
+  select a.vec_id, max({_dot} / (a.nrm * b.nrm)) as dup_ratio
+  from n a, n b where a.vec_id <> b.vec_id group by a.vec_id)"""
+
+    o["embedding_cluster_score"] = f"""{dup_ratio_cte}
+select vec_id::bigint as vec_id, round(dup_ratio, 6) as dup_ratio,
+  round({cluster_case}, 6) as cluster_score
+from d"""
+
+    ngram_toks = "['<s>', '<s>'] || string_split(text, ' ') || ['</s>']"
+    wr, wf = DEFAULT.weight_rule, DEFAULT.weight_feature
+    wp, wc = DEFAULT.weight_perplexity, DEFAULT.weight_clustering
+    half, maxp = 250.0, 10000.0
+    o["quality_keep_full"] = f"""
+with s as ({_rule_stats_cte()}),
+feat as ({_feature_cte()}),
+toks as (select doc_id, ({ngram_toks}) as t from documents),
+grams as (
+  select doc_id, unnest(list_transform(generate_series(3, len(t)),
+    i -> {{'context': array_to_string(t[i-2 : i-1], chr(31)), 'word': t[i]}}),
+    recursive := true)
+  from toks),
+model as (select context, word, count(*) as cnt from grams group by 1, 2),
+ctx as (select context, sum(cnt) as ctx_cnt from model group by 1),
+vv as (select count(distinct tok) as v from (select unnest(string_split(text, ' ')) as tok from documents)),
+pplt as (
+  select g.doc_id,
+    pow(2.0, -avg(greatest(log2((coalesce(m.cnt, 0) + 0.1) / (coalesce(c.ctx_cnt, 0) + 0.1 * vv.v)), -100.0))) as ppl
+  from grams g
+  left join model m on m.context = g.context and m.word = g.word
+  left join ctx c on c.context = g.context
+  cross join vv
+  group by g.doc_id),
+ppls as (
+  select doc_id,
+    case when least(ppl, {maxp}) >= {maxp} then 0.0
+         when least(ppl, {maxp}) <= {half} then 1.0
+         else greatest(0.0, 1.0 - (least(ppl, {maxp}) - {half}) / {maxp - half}) end as ppl_score
+  from pplt),
+{dup_ratio_cte.lstrip().removeprefix('with ')},
+clus as (select vec_id as doc_id, ({cluster_case}) as cluster_score from d),
+scored as (
+  select s.doc_id,
+    ({_rule_score_sql()}) as rule_score,
+    ({_feature_score()}) as feature_score,
+    ppls.ppl_score, clus.cluster_score
+  from s
+  join feat on s.doc_id = feat.doc_id
+  join ppls on s.doc_id = ppls.doc_id
+  join clus on s.doc_id = clus.doc_id)
+select doc_id::bigint as doc_id,
+  round(ppl_score, 6) as ppl_score,
+  round(cluster_score, 6) as cluster_score,
+  round((rule_score * {wr} + feature_score * {wf} + ppl_score * {wp}
+         + cluster_score * {wc}) / {repr(W_FULL_TOTAL)}, 6) as quality_score_full,
+  ((rule_score * {wr} + feature_score * {wf} + ppl_score * {wp}
+         + cluster_score * {wc}) / {repr(W_FULL_TOTAL)}) >= {DEFAULT.quality_threshold} as keep_full
+from scored"""
+
     return {k: v.strip() for k, v in o.items()}
