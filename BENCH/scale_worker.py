@@ -49,9 +49,11 @@ def main(cpus: int, n_docs: int) -> None:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
+        print(f"stage {name} start", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"stage {name} done {timings[name]}s", file=sys.stderr, flush=True)
 
     timed(
         "quality_scrub",

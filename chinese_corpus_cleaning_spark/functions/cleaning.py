@@ -223,3 +223,53 @@ def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
     if idx < n:
         pieces.append(s[idx:])
     return "".join(pieces)
+
+
+# --- perplexity-stage preprocessing (P7) -----------------------------------
+# /root/reference/text_quality_filter/utils/lmppl_perplexity.py:92-154
+
+_URL_TO_TOKEN = re.compile(r"https?://\S+|www\.\S+")
+_BANGS = re.compile(r"[!?]{2,}")
+_DOTS = re.compile(r"[.]{3,}")
+_EMOJI_PPL = re.compile(
+    "["
+    "\U0001F600-\U0001F64F\U0001F300-\U0001F5FF\U0001F680-\U0001F6FF"
+    "\U0001F700-\U0001F77F\U0001F780-\U0001F7FF\U0001F800-\U0001F8FF"
+    "\U0001F900-\U0001F9FF\U0001FA00-\U0001FA6F\U0001FA70-\U0001FAFF"
+    "\U00002702-\U000027B0\U000024C2-\U0001F251"
+    "]+"
+)
+_SENT_SPLIT = re.compile(r"[。！？.!?]")
+
+
+def preprocess_for_ppl(text: str) -> str:
+    """Perplexity text preprocessing (lmppl_perplexity.py:92-125): collapse
+    whitespace, URLs -> [URL], collapse !?-runs to '!', long dot runs to
+    '...', strip emoji ranges."""
+    text = _WS.sub(" ", text)
+    text = _URL_TO_TOKEN.sub("[URL]", text)
+    text = _BANGS.sub("!", text)
+    text = _DOTS.sub("...", text)
+    return _EMOJI_PPL.sub("", text)
+
+
+def extract_meaningful_segments(text: str, max_length: int = 500) -> str:
+    """Head/middle/tail sentence sampling for long docs
+    (lmppl_perplexity.py:127-154): <=3 sentences -> text[:max]; otherwise two
+    sentences from each third joined by '。', capped at max_length."""
+    sentences = [s for s in _SENT_SPLIT.split(text) if s.strip()]
+    if len(sentences) <= 3:
+        return text[:max_length]
+    third = len(sentences) // 3
+    selected = sentences[:third][:2] + sentences[third : 2 * third][:2] + sentences[2 * third :][:2]
+    return "。".join(selected)[:max_length]
+
+
+def dedup_lines(text: str) -> str:
+    """Within-document exact line dedup, keeping the first occurrence of each
+    line — the semantics of piping through the commoncrawl dedupe binary
+    (clear_redundancy.py:172-190, J4) without the subprocess."""
+    seen: dict[str, None] = {}
+    for ln in text.split("\n"):
+        seen.setdefault(ln)
+    return "\n".join(seen)

@@ -488,3 +488,19 @@ QUERIES.update(
         "quality_keep_full": q_quality_keep_full,
     }
 )
+
+
+def q_dedup_tokens(spark, sf_dir):
+    """Within-document first-occurrence dedup (the J4 exact-line-dedup
+    semantics, clear_redundancy.py:172-190, applied to whitespace tokens —
+    the documents fixture is single-line). Native array_distinct preserves
+    first-occurrence order."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("array_join(array_distinct(split(text, ' ')), ' ')").alias(
+            "deduped_text"
+        ),
+    )
+
+
+QUERIES["dedup_tokens"] = q_dedup_tokens

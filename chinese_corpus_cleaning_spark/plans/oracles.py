@@ -474,6 +474,7 @@ join region on n_regionkey = r_regionkey
 group by r_name"""
 
     o.update(build_extra())
+    o.update(build_more())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -602,4 +603,23 @@ select doc_id::bigint as doc_id,
          + cluster_score * {wc}) / {repr(W_FULL_TOTAL)}) >= {DEFAULT.quality_threshold} as keep_full
 from scored"""
 
+    return {k: v.strip() for k, v in o.items()}
+
+
+def build_more() -> dict[str, str]:
+    o: dict[str, str] = {}
+    # first-occurrence token dedup: DuckDB list_distinct does NOT preserve
+    # order, so rebuild it with min-index grouping
+    o["dedup_tokens"] = """
+with toks as (
+  select doc_id, string_split(text, ' ') as ls from documents),
+idx as (
+  select doc_id,
+    unnest(list_transform(generate_series(1, len(ls)),
+                          i -> {'tok': ls[i], 'i': i}), recursive := true)
+  from toks),
+firsts as (
+  select doc_id, tok, min(i) as i from idx group by doc_id, tok)
+select doc_id, array_to_string(list(tok order by i), ' ') as deduped_text
+from firsts group by doc_id"""
     return {k: v.strip() for k, v in o.items()}

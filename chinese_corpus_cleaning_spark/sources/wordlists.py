@@ -90,3 +90,20 @@ def broadcast_trie(spark, words: list[str] | None = None):
     if words is None:
         words = load_words(ALL_SENSITIVE_WORDS)
     return spark.sparkContext.broadcast(TrieBox(words))
+
+
+def merge_wordlists(spark, paths: list[str]):
+    """Word-list merge (A3/K7: merge_all_sensitive_words.py:33-71 —
+    union -> strip -> dedup -> sort) as a one-shot DataFrame job."""
+    from pyspark.sql import functions as F
+
+    dfs = [spark.read.text(p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.union(d)
+    return (
+        out.select(F.trim("value").alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .orderBy("word")
+    )

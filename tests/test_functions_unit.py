@@ -137,3 +137,37 @@ def test_repeat_removal_keeps_first_occurrence():
     assert out.startswith(chunk)
     # no repeats -> unchanged
     assert remove_long_repeated_substrings("abc") == "abc"
+
+
+def test_preprocess_for_ppl():
+    from chinese_corpus_cleaning_spark.functions.cleaning import preprocess_for_ppl
+
+    assert preprocess_for_ppl("a  b\n c") == "a b c"
+    # NB the reference's emoji class (\x{24C2}-\x{1F251}) covers the CJK
+    # block, so _preprocess_text strips Chinese characters as "emoji" — a
+    # reference quirk reproduced deliberately (lmppl_perplexity.py:106-123)
+    assert preprocess_for_ppl("见 https://x.cn/页面 和 www.t.com 啊") == " [URL]  [URL] "
+    assert preprocess_for_ppl("什么!!!???") == "!"
+    assert preprocess_for_ppl("ok等等......") == "ok..."
+    assert preprocess_for_ppl("好😀😀的ok") == "ok"
+
+
+def test_extract_meaningful_segments():
+    from chinese_corpus_cleaning_spark.functions.cleaning import (
+        extract_meaningful_segments,
+    )
+
+    short = "一句话。两句话。"
+    assert extract_meaningful_segments(short, 500) == short[:500]
+    nine = "。".join(f"第{i}句内容相当长一些" for i in range(9)) + "。"
+    out = extract_meaningful_segments(nine, 500)
+    assert out.startswith("第0句") and "第3句" in out and "第6句" in out
+    assert len(out) <= 500
+
+
+def test_dedup_lines():
+    from chinese_corpus_cleaning_spark.functions.cleaning import dedup_lines
+
+    assert dedup_lines("a\nb\na\nc\nb") == "a\nb\nc"
+    assert dedup_lines("") == ""
+    assert dedup_lines("x") == "x"

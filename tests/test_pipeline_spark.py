@@ -150,3 +150,14 @@ def test_generator_determinism(spark):
     # hot host skew present
     hot = sum(1 for r in a if gen.HOT_HOST in r["url"])
     assert 10 <= hot <= 60
+
+
+def test_merge_wordlists(spark, tmp_path):
+    from chinese_corpus_cleaning_spark.sources.wordlists import merge_wordlists
+
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    a.write_text("促销\n特价\n\n 促销 \n", encoding="utf-8")
+    b.write_text("赌博\n特价\n", encoding="utf-8")
+    out = [r["word"] for r in merge_wordlists(spark, [str(a), str(b)]).collect()]
+    assert out == sorted(set(out))
+    assert set(out) == {"促销", "特价", "赌博"}
