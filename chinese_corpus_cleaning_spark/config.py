@@ -45,11 +45,15 @@ class PerplexityConfig:
 
 @dataclass(frozen=True)
 class DedupConfig:
-    # clustering.py:25-27 thresholds re-expressed for MinHash-LSH
+    # clustering.py:25-27 thresholds re-expressed for MinHash-LSH.
+    # Banding picked for the 0.85 threshold: 16 bands x 8 rows gives
+    # P(candidate | J=0.85) = 1-(1-0.85^8)^16 ~= 0.99 while
+    # P(candidate | J=0.6) ~= 0.24 — the earlier 32x4 banding admitted
+    # J=0.6 pairs with p=0.99 and made boilerplate clusters quadratic.
     similarity_threshold: float = 0.85
     shingle_size: int = 5
     num_hashes: int = 128
-    num_bands: int = 32  # rows per band = num_hashes // num_bands = 4
+    num_bands: int = 16  # rows per band = num_hashes // num_bands = 8
 
 
 @dataclass(frozen=True)

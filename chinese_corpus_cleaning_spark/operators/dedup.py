@@ -299,13 +299,56 @@ def simhash_udf():
 # -------------------------------------------------- connected components (CC)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 5_000_000
+) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) ->
     (id, component) with component = min id reachable.
 
-    Iterative min-label propagation as DataFrame joins; each iteration
-    localCheckpoints to truncate lineage (SURVEY.md §4 item 4). Converges in
-    <= O(log n) iterations on duplicate-family graphs (small diameter)."""
+    Size-adaptive physical strategy (AQE philosophy — pick the plan by
+    runtime statistics): below ``driver_threshold`` edges the graph is
+    union-found on the driver in one pass (a 300k-edge graph costs ~1s there
+    vs ~2 minutes of per-iteration job latency in the distributed loop);
+    above it, iterative min-label propagation with pointer jumping as
+    DataFrame joins, localCheckpointed per iteration to truncate lineage
+    (SURVEY.md §4 item 4), converging in O(log diameter)."""
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _cc_driver(edges)
+    return _cc_distributed(edges, max_iter)
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find (path compression + union by label min)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.select("id_a", "id_b").collect()
+    for r in rows:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for r in rows:
+        nodes.add(r["id_a"])
+        nodes.add(r["id_b"])
+    out = [(n, find(n)) for n in nodes]
+    spark = edges.sparkSession
+    if not out:
+        return spark.createDataFrame([], "id long, comp long")
+    schema_type = edges.schema["id_a"].dataType.simpleString()
+    return spark.createDataFrame(out, f"id {schema_type}, comp {schema_type}")
+
+
+def _cc_distributed(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # symmetric neighbor list — materialized once: every iteration scans it
     # twice, and without this the FULL upstream plan (LSH signature pipeline)
     # would re-execute per iteration (measured 625s -> ~20s at 20k docs)
@@ -318,7 +361,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         F.least(F.min("nbr"), F.col("id")).alias("comp")
     )
     for _ in range(max_iter):
-        # propagate each node's label to neighbors; take the min seen
+        # (1) propagate each node's label to neighbors; take the min seen
         prop = (
             sym.join(labels, "id")
             .groupBy(F.col("nbr").alias("id"))
@@ -328,6 +371,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.join(prop, "id", "left")
             .withColumn("new_comp", F.least("comp", F.coalesce("nbr_comp", "comp")))
             .select("id", F.col("new_comp").alias("comp"))
+        )
+        # (2) pointer jumping: comp <- label(comp). Halves path lengths each
+        # iteration => O(log diameter) convergence instead of O(diameter)
+        parent = new_labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("parent_comp")
+        )
+        new_labels = (
+            new_labels.join(parent, "comp", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("parent_comp", "comp")).alias("comp"),
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
@@ -348,7 +403,7 @@ def dedup_representatives(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_bucket: int | None = 1024,
+    max_band_bucket: int | None = 256,
 ) -> DataFrame:
     """Full near-dup stage: (id, component, is_duplicate). Representative =
     min id per component (clustering.py:169-207 semantics re-expressed:
