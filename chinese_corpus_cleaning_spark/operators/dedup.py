@@ -312,6 +312,8 @@ def connected_components(
     above it, iterative min-label propagation with pointer jumping as
     DataFrame joins, localCheckpointed per iteration to truncate lineage
     (SURVEY.md §4 item 4), converging in O(log diameter)."""
+    edges = edges.cache()  # the threshold count and the chosen strategy both
+    # scan the edge list; without this the upstream pair pipeline runs twice
     n_edges = edges.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         return _cc_driver(edges)
