@@ -45,8 +45,13 @@ def build_trie(keywords: Iterable[str]) -> dict:
     return root
 
 
-def scan(message: str, trie: dict, repl: str = "*") -> tuple[str, list[str]]:
-    """Single walk returning ``(scrubbed_lowercased_text, matches)``.
+def scan_positions(
+    message: str, trie: dict, repl: str = "*"
+) -> tuple[str, list[tuple[int, str]]]:
+    """Single walk returning ``(scrubbed_lowercased_text,
+    [(start_pos, matched_word), ...])`` — one pass serves scrub, detect AND
+    the per-line feature counting (functions/feature.py), where the reference
+    walks the document once per concern plus once per line.
 
     Match semantics are exactly sensitive_filter.py:72-134: from each start
     position walk the trie; the first node carrying the terminal marker wins
@@ -57,7 +62,7 @@ def scan(message: str, trie: dict, repl: str = "*") -> tuple[str, list[str]]:
     message = message.lower()
     n = len(message)
     out: list[str] = []
-    matches: list[str] = []
+    matches: list[tuple[int, str]] = []
     start = 0
     while start < n:
         node = trie
@@ -74,12 +79,18 @@ def scan(message: str, trie: dict, repl: str = "*") -> tuple[str, list[str]]:
             node = nxt
         if matched >= 0:
             out.append(repl * (matched - start))
-            matches.append(message[start:matched])
+            matches.append((start, message[start:matched]))
             start = matched
         else:
             out.append(message[start])
             start += 1
     return "".join(out), matches
+
+
+def scan(message: str, trie: dict, repl: str = "*") -> tuple[str, list[str]]:
+    """``(scrubbed_lowercased_text, matched_words)`` — see scan_positions."""
+    scrubbed, matches = scan_positions(message, trie, repl)
+    return scrubbed, [w for _, w in matches]
 
 
 def detect(message: str, trie: dict) -> list[str]:
@@ -89,4 +100,4 @@ def detect(message: str, trie: dict) -> list[str]:
 
 def scrub(message: str, trie: dict, repl: str = "*") -> str:
     """Scrubbed text only (sensitive_filter.py:72-104)."""
-    return scan(message, trie, repl)[0]
+    return scan_positions(message, trie, repl)[0]

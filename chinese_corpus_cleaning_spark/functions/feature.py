@@ -23,7 +23,7 @@ import re
 from dataclasses import dataclass
 
 from ..config import FeatureConfig
-from .dfa import _END
+from .dfa import scan_positions as _dfa_scan_positions
 
 # feature_words.py:246-248 — presence of any of these in text.lower() adds 3.
 HIGH_WEIGHT_KEYWORDS = (
@@ -50,30 +50,9 @@ _NEGATIVE_CONTEXT = [
 
 def scan_with_positions(message: str, trie: dict) -> list[tuple[int, str]]:
     """DFA shortest-match scan returning ``[(start_pos, word), ...]`` over the
-    lowercased message (walk semantics of sensitive_filter.py:106-134)."""
-    message = message.lower()
-    n = len(message)
-    found: list[tuple[int, str]] = []
-    start = 0
-    while start < n:
-        node = trie
-        i = start
-        matched = -1
-        while i < n:
-            nxt = node.get(message[i])
-            if nxt is None:
-                break
-            i += 1
-            if _END in nxt:
-                matched = i
-                break
-            node = nxt
-        if matched >= 0:
-            found.append((start, message[start:matched]))
-            start = matched
-        else:
-            start += 1
-    return found
+    lowercased message (walk semantics of sensitive_filter.py:106-134).
+    Delegates to the combined scrub+detect walk in functions/dfa.py."""
+    return _dfa_scan_positions(message, trie)[1]
 
 
 @dataclass
@@ -85,14 +64,23 @@ class FeatureResult:
     score: float
 
 
-def evaluate_features(text: str, trie: dict, cfg: FeatureConfig) -> FeatureResult:
+def evaluate_features(
+    text: str,
+    trie: dict,
+    cfg: FeatureConfig,
+    matches: list[tuple[int, str]] | None = None,
+) -> FeatureResult:
     """check_feature_words + get_feature_score in one pass.
+
+    ``matches`` may carry precomputed DFA match positions (from the combined
+    scrub+detect walk in operators/quality.py) to avoid rescanning.
 
     Empty text: the reference's get_feature_score returns 0.0 up front
     (feature_words.py:235-237) while check_feature_words reports pass with no
     valid lines (avg 0 <= threshold) — both reproduced.
     """
-    matches = scan_with_positions(text, trie)
+    if matches is None:
+        matches = scan_with_positions(text, trie)
     words = [w for _, w in matches]
 
     # per-line counts via match positions (equivalent to the reference's

@@ -35,7 +35,7 @@ from pyspark.sql.types import (
 
 from ..config import DEFAULT, PipelineConfig
 from ..functions.feature import evaluate_features
-from ..functions.dfa import scan as dfa_scan
+from ..functions.dfa import scan_positions as dfa_scan_positions
 from ..functions.textstats import CHECK_NAMES, check_flags, compute_stats, rule_score
 
 def _resolve(v):
@@ -70,8 +70,10 @@ def _eval_one(text, trie, cfg: PipelineConfig) -> dict:
         st = compute_stats(text)
         flags = check_flags(st, cfg.rule)
         rscore = rule_score(text, st, flags, cfg.rule)
-        feat = evaluate_features(text, trie, cfg.feature)
-        scrubbed, matches = dfa_scan(text, trie)
+        # ONE DFA walk serves scrub + detect + per-line feature counts
+        scrubbed, positions = dfa_scan_positions(text, trie)
+        feat = evaluate_features(text, trie, cfg.feature, matches=positions)
+        matches = [w for _, w in positions]
         return {
             "rule_passed": all(flags.values()),
             "rule_checks": flags,
@@ -154,7 +156,9 @@ def scrub_udf(trie_broadcast):
     @F.pandas_udf(StringType())
     def scrub(texts: pd.Series) -> pd.Series:
         trie = _resolve(trie_broadcast.value)
-        return texts.map(lambda t: None if t is None else dfa_scan(t, trie)[0])
+        return texts.map(
+            lambda t: None if t is None else dfa_scan_positions(t, trie)[0]
+        )
 
     return scrub
 
@@ -166,6 +170,10 @@ def detect_udf(trie_broadcast):
     @F.pandas_udf(ArrayType(StringType()))
     def detect(texts: pd.Series) -> pd.Series:
         trie = _resolve(trie_broadcast.value)
-        return texts.map(lambda t: None if t is None else dfa_scan(t, trie)[1])
+        return texts.map(
+            lambda t: None
+            if t is None
+            else [w for _, w in dfa_scan_positions(t, trie)[1]]
+        )
 
     return detect
