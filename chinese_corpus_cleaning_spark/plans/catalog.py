@@ -504,3 +504,18 @@ def q_dedup_tokens(spark, sf_dir):
 
 
 QUERIES["dedup_tokens"] = q_dedup_tokens
+
+
+def q_ann_topk(spark, sf_dir):
+    """Approximate NN: exact cosine top-3 restricted to same-RP-LSH-bucket
+    candidates (the scale path for similarity search)."""
+    t = _sim.ann_topk_lsh(load(spark, sf_dir, "embeddings"), k=3, n_planes=8, dim=64)
+    return t.select(
+        F.col("vec_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint"),
+    )
+
+
+QUERIES["ann_topk_lsh"] = q_ann_topk

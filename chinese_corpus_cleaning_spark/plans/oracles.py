@@ -475,6 +475,7 @@ group by r_name"""
 
     o.update(build_extra())
     o.update(build_more())
+    o.update(build_ann())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -623,3 +624,31 @@ firsts as (
 select doc_id, array_to_string(list(tok order by i), ' ') as deduped_text
 from firsts group by doc_id"""
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_ann() -> dict[str, str]:
+    from ..functions.hashing import h60
+
+    def duck_sign(plane: int, dim: int = 64) -> str:
+        signs = [1 if h60(f"{plane}|{d}") & 1 else -1 for d in range(dim)]
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}(embedding[{d + 1}]::double))"
+            for d, s in enumerate(signs)
+        )
+        return f"(case when ({terms}) > 0 then 1 else 0 end)"
+
+    bucket = " + ".join(f"({duck_sign(p)}::bigint * {1 << p})" for p in range(8))
+    sql = f"""
+with b as (select vec_id, ({bucket})::bigint as bucket from embeddings),
+v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+n as (select v.vec_id, bucket, e, sqrt(list_sum(list_transform(e, x -> x * x))) as nrm
+      from v join b on v.vec_id = b.vec_id),
+p as (
+  select a.vec_id as vec_id, x.vec_id as neighbor_id,
+    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * x.e[i])) / (a.nrm * x.nrm) as cos_sim
+  from n a join n x using (bucket) where a.vec_id <> x.vec_id),
+r as (select *, row_number() over (partition by vec_id order by cos_sim desc, neighbor_id) as rank from p)
+select vec_id::bigint as vec_id, neighbor_id::bigint as neighbor_id,
+       round(cos_sim, 6) as cos_sim, rank::bigint as rank
+from r where rank <= 3"""
+    return {"ann_topk_lsh": sql.strip()}

@@ -106,3 +106,16 @@ def run_stream(
         labels_q.awaitTermination(await_seconds)
         metrics_q.awaitTermination(await_seconds)
     return labels_q, metrics_q
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup across microbatches: the first arrival of each
+    content hash passes, later copies are dropped. State is bounded by the
+    event-time watermark (Spark evicts seen-keys older than it) — the
+    streaming analogue of the batch exact-dedup stage for a continuously
+    crawled corpus where the same page recurs across fetches."""
+    return (
+        stream.withColumn("content_md5", F.md5(F.encode("text", "UTF-8")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
+    )

@@ -102,3 +102,34 @@ def test_media_meta_prunes_other_columns(spark, tmp_path):
         out.explain("formatted")
     read_schema = [ln for ln in buf.getvalue().splitlines() if "ReadSchema" in ln][0]
     assert "other" not in read_schema
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Exact duplicates arriving in later microbatches are dropped by the
+    stateful dedup (watermarked seen-hash state)."""
+    import pandas as pd
+
+    in_dir = str(tmp_path / "sin")
+    chk = str(tmp_path / "chk")
+    pdf = gen.docs_pandas(60)
+    # duplicate the first 20 docs with new urls (recrawl of identical pages)
+    dups = pdf.head(20).copy()
+    dups["url"] = dups["url"] + "?recrawl=1"
+    both = pd.concat([pdf, dups], ignore_index=True)
+    spark.createDataFrame(both).write.parquet(in_dir)
+
+    stream = stream_pipeline.stream_from_directory(spark, in_dir)
+    deduped = stream_pipeline.streaming_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ccc_stream_dedup")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from ccc_stream_dedup").collect()
+    n_unique_texts = len(set(both["text"]))
+    assert len(out) == n_unique_texts
+    md5s = [r["content_md5"] for r in out]
+    assert len(md5s) == len(set(md5s))
