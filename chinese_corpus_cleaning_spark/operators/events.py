@@ -85,3 +85,25 @@ def json_props(events: DataFrame) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
     )
+
+
+def salted_user_totals(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase salted aggregation (the skew pattern of SURVEY.md §4 item 2,
+    applied to aggregation): phase 1 aggregates on (user_id, salt) so one hot
+    user's rows spread over ``salt_buckets`` reducers; phase 2 merges the
+    partials per user. Result is identical to a direct groupBy(user_id) —
+    which is exactly what the DuckDB oracle computes — but no single reducer
+    ever sees all rows of a hot key.
+
+    (For plain sum/count Spark's own partial aggregation already does this;
+    the explicit salt matters for high-cardinality aggregates like
+    collect_set/percentile where map-side partials don't collapse skew.)"""
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.sum("value").alias("pv"), F.count(F.lit(1)).alias("pc")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pv").alias("total_value"), F.sum("pc").alias("n_events")
+    )

@@ -519,3 +519,15 @@ def q_ann_topk(spark, sf_dir):
 
 
 QUERIES["ann_topk_lsh"] = q_ann_topk
+
+
+def q_events_salted_totals(spark, sf_dir):
+    t = _events.salted_user_totals(load(spark, sf_dir, "events"))
+    return t.select(
+        F.col("user_id").cast("bigint"),
+        F.round("total_value", 5).alias("total_value"),
+        F.col("n_events").cast("bigint"),
+    )
+
+
+QUERIES["events_salted_totals"] = q_events_salted_totals

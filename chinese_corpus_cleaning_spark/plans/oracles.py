@@ -476,6 +476,7 @@ group by r_name"""
     o.update(build_extra())
     o.update(build_more())
     o.update(build_ann())
+    o.update(build_salted())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -652,3 +653,13 @@ select vec_id::bigint as vec_id, neighbor_id::bigint as neighbor_id,
        round(cos_sim, 6) as cos_sim, rank::bigint as rank
 from r where rank <= 3"""
     return {"ann_topk_lsh": sql.strip()}
+
+
+def build_salted() -> dict[str, str]:
+    # the salted two-phase aggregation must equal the direct aggregation
+    return {
+        "events_salted_totals": """
+select user_id::bigint as user_id, round(sum(value), 5) as total_value,
+       count(*)::bigint as n_events
+from events group by user_id""".strip()
+    }
