@@ -40,12 +40,6 @@ _SMALL_MINHASH = DedupConfig(
 # lexicon for SQL-checkable DFA/scrub queries (see module docstring)
 EN_LEXICON = ("spark", "vector", "window", "stream", "customer")
 
-_TABLES = (
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-)
-
-
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -65,14 +59,6 @@ _EMOJI_RANGES = [
     ("2702", "27B0"), ("24C2", "1F251"),
 ]
 RX_EMOJI = "[" + "".join(f"\\x{{{a}}}-\\x{{{b}}}" for a, b in _EMOJI_RANGES) + "]+"
-
-
-def _h60_spark(e: str) -> str:
-    return f"cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
-
-
-def _h60_duck(e: str) -> str:
-    return f"(('0x' || substr(md5({e}), 1, 15))::bigint)"
 
 
 # ------------------------------------------------------------------ queries
