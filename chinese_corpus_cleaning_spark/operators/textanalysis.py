@@ -89,3 +89,27 @@ def quality_stats_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.max(F.length(text_col)).alias("max_chars"),
         )
     )
+
+
+def host_rollup(docs: DataFrame, url_col: str = "url", salt_buckets: int = 16) -> DataFrame:
+    """Per-host corpus stats with skew-salted two-phase aggregation
+    (north_rule: salted handling of skewed hosts — one hot host holding ~30%
+    of a crawl must not pin a single reducer).
+
+    host = parse_url(url, 'HOST') (native); phase 1 aggregates on
+    (host, salt) so the hot host spreads across ``salt_buckets`` reducers;
+    phase 2 merges partials. Returns (host, n_docs, total_chars, avg_chars).
+    """
+    hosted = docs.select(
+        F.parse_url(F.col(url_col), F.lit("HOST")).alias("host"),
+        F.length("text").alias("n_chars"),
+        F.pmod(F.xxhash64(url_col), F.lit(salt_buckets)).alias("salt"),
+    )
+    partial = hosted.groupBy("host", "salt").agg(
+        F.count(F.lit(1)).alias("pc"), F.sum("n_chars").alias("ps")
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("pc").alias("n_docs"), F.sum("ps").alias("total_chars"))
+        .withColumn("avg_chars", F.col("total_chars") / F.col("n_docs"))
+    )

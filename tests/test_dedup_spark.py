@@ -78,3 +78,20 @@ def test_salt_hot_keys(spark):
     )
     assert 2 <= hot_keys <= 8
     assert cold_keys == 20
+
+
+def test_host_rollup_salted_matches_direct(spark):
+    from chinese_corpus_cleaning_spark.operators.textanalysis import host_rollup
+
+    docs = gen.docs_df(spark, 800, partitions=4).select("url", "text")
+    salted = {r["host"]: (r["n_docs"], r["total_chars"]) for r in host_rollup(docs).collect()}
+    direct = {
+        r["host"]: (r["n"], r["s"])
+        for r in docs.groupBy(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("s"))
+        .collect()
+    }
+    assert salted == direct
+    # the generator's hot host really is skewed (~30% of docs)
+    hot = salted[gen.HOT_HOST][0]
+    assert 0.2 * 800 < hot < 0.4 * 800

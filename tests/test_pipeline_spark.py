@@ -161,3 +161,46 @@ def test_merge_wordlists(spark, tmp_path):
     out = [r["word"] for r in merge_wordlists(spark, [str(a), str(b)]).collect()]
     assert out == sorted(set(out))
     assert set(out) == {"促销", "特价", "赌博"}
+
+
+def test_partial_resume_processes_only_missing_partitions(spark, docs, tmp_path):
+    """Simulate a run killed midway: lineage marks some partitions complete;
+    the resumed run must (a) skip completed partitions, (b) append the rest,
+    (c) end with exactly one row per url and consistent stats."""
+    from pyspark.sql import functions as F
+
+    from chinese_corpus_cleaning_spark.plans.pipeline import run
+
+    out = str(tmp_path / "out")
+    stats_full = run(spark, docs, out, partitions=4)
+    labels_path, lineage_path = f"{out}/labels", f"{out}/lineage"
+
+    # wind back to a "crashed after partitions 0,1" state
+    full = spark.read.parquet(labels_path).cache()
+    full.count()
+    kept_parts = [0, 1]
+    partial = full.where(F.col("part_id").isin(kept_parts))
+    # run() leaves partitionOverwriteMode=dynamic, under which this rewind
+    # would only touch partitions present in `partial`; force a full replace
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    partial.write.mode("overwrite").partitionBy("part_id").parquet(labels_path)
+    (
+        partial.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        )
+        .withColumn("status", F.lit("complete"))
+        .write.mode("overwrite")
+        .parquet(lineage_path)
+    )
+    n_partial = spark.read.parquet(labels_path).count()
+    assert 0 < n_partial < N_DOCS
+
+    stats_resumed = run(spark, docs, out, partitions=4, resume=True)
+    final = spark.read.parquet(labels_path)
+    assert final.count() == N_DOCS
+    assert final.select("url").distinct().count() == N_DOCS  # no duplicates
+    assert stats_resumed == stats_full
+    lineage = spark.read.parquet(lineage_path)
+    assert lineage.where("status = 'complete'").count() == 4
