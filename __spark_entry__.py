@@ -21,26 +21,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
-    """Ship the package to executor python workers (the local equivalent of
-    spark-submit --py-files): without this, pandas-UDF closures that
-    reference chinese_corpus_cleaning_spark fail to unpickle on workers when
-    the driver's cwd is not the repo root."""
-    import zipfile
+    """Ship the package to executor workers (spark-submit --py-files
+    equivalent); see chinese_corpus_cleaning_spark/sources/shipping.py."""
+    from chinese_corpus_cleaning_spark.sources.shipping import ensure_pyfiles
 
-    pkg = os.path.join(_REPO, "chinese_corpus_cleaning_spark")
-    sources = [
-        os.path.join(root, f)
-        for root, _dirs, files in os.walk(pkg)
-        for f in files
-        if f.endswith(".py")
-    ]
-    stamp = max(int(os.path.getmtime(f)) for f in sources)
-    zip_path = os.path.join("/tmp", f"chinese_corpus_cleaning_spark_{stamp}.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for full in sources:
-                zf.write(full, os.path.relpath(full, _REPO))
-    spark.sparkContext.addPyFile(zip_path)
+    ensure_pyfiles(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

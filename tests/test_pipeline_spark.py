@@ -204,3 +204,35 @@ def test_partial_resume_processes_only_missing_partitions(spark, docs, tmp_path)
     assert stats_resumed == stats_full
     lineage = spark.read.parquet(lineage_path)
     assert lineage.where("status = 'complete'").count() == 4
+
+
+def test_spark_submit_entrypoint(tmp_path):
+    """The north_star deployment shape: the pipeline module runs as its own
+    driver process (python -m ... == spark-submit's pythonic equivalent) on a
+    parquet input and writes labels + lineage."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "job_out")
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "chinese_corpus_cleaning_spark.plans.pipeline",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            out,
+            "--partitions",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "'total':" in r.stdout or "total" in r.stdout
+    import os
+
+    assert os.path.isdir(f"{out}/labels") and os.path.isdir(f"{out}/lineage")
