@@ -517,3 +517,32 @@ def q_events_salted_totals(spark, sf_dir):
 
 
 QUERIES["events_salted_totals"] = q_events_salted_totals
+
+
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (relational breadth: filter pushdown +
+    grouped decimal aggregation). Filter on l_shipdate reaches the parquet
+    scan as a PushedFilter (asserted in tests/test_plan_quality.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(q).cast("double").alias("sum_qty"),
+            F.sum(d).cast("double").alias("sum_base_price"),
+            F.sum(d * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order",
+        )
+    )
+
+
+QUERIES["lineitem_pricing_summary"] = q_lineitem_pricing_summary

@@ -477,6 +477,7 @@ group by r_name"""
     o.update(build_more())
     o.update(build_ann())
     o.update(build_salted())
+    o.update(build_tpch())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -662,4 +663,18 @@ def build_salted() -> dict[str, str]:
 select user_id::bigint as user_id, round(sum(value), 5) as total_value,
        count(*)::bigint as n_events
 from events group by user_id""".strip()
+    }
+
+
+def build_tpch() -> dict[str, str]:
+    return {
+        "lineitem_pricing_summary": """
+select l_returnflag, l_linestatus,
+  (sum(l_quantity::decimal(18,2)))::double as sum_qty,
+  (sum(l_extendedprice::decimal(18,2)))::double as sum_base_price,
+  (sum(l_extendedprice::decimal(18,2) * (1::decimal(18,2) - l_discount::decimal(18,2))))::double as sum_disc_price,
+  count(*)::bigint as count_order
+from lineitem
+where l_shipdate <= '1998-09-02'
+group by l_returnflag, l_linestatus""".strip()
     }
