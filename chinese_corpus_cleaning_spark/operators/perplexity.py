@@ -73,27 +73,28 @@ def perplexity_relational(
     v: int | None = None,
 ) -> DataFrame:
     """(doc_id, ppl): explode doc n-grams, broadcast-join model counts,
-    smooth, aggregate. ``v`` = vocab size (computed if None)."""
-    if v is None:
-        v = vocab_size(docs, text_col).collect()[0]["v"]
+    smooth, aggregate. ``v`` = vocab size; when None it stays IN the plan
+    as a broadcast one-row cross join (no driver round trip — the whole
+    scorer remains a single lazy composable plan)."""
     ctx_tot = model.groupBy("context").agg(F.sum("cnt").alias("ctx_cnt"))
     grams = docs.select(
         F.col(id_col), F.explode(F.expr(_ngram_expr(text_col, n))).alias("g")
     ).select(id_col, "g.context", "g.word")
-    joined = (
-        grams.join(F.broadcast(model), ["context", "word"], "left")
-        .join(F.broadcast(ctx_tot), ["context"], "left")
-        .withColumn(
-            "log2p",
-            F.log2(
-                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
-                / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + F.lit(alpha) * F.lit(v))
-            ),
-        )
-        .withColumn(
-            "log2p", F.greatest(F.col("log2p"), F.lit(LOG_FLOOR))
-        )
+    joined = grams.join(F.broadcast(model), ["context", "word"], "left").join(
+        F.broadcast(ctx_tot), ["context"], "left"
     )
+    if v is None:
+        joined = joined.crossJoin(F.broadcast(vocab_size(docs, text_col)))
+        v_col = F.col("v")
+    else:
+        v_col = F.lit(v)
+    joined = joined.withColumn(
+        "log2p",
+        F.log2(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + F.lit(alpha) * v_col)
+        ),
+    ).withColumn("log2p", F.greatest(F.col("log2p"), F.lit(LOG_FLOOR)))
     return joined.groupBy(id_col).agg(
         F.pow(F.lit(2.0), -F.avg("log2p")).alias("ppl"),
         (-F.avg("log2p")).alias("neg_avg_log2p"),
