@@ -195,3 +195,76 @@ def cluster_score_col(dup_ratio_col: str, threshold: float = 0.85):
         F.lit(1.0), F.lit(0.8) + F.lit(0.2) * (F.lit(1.0) - r / F.lit(threshold))
     )
     return F.when(r >= F.lit(threshold), over).otherwise(under)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: centroids are the ``n_cells`` lowest-id vectors
+    (deterministic, no training dependency); each vector goes to its nearest
+    centroid by squared L2 (argmin, centroid-id tie-break). Returns
+    (vec_id, cell).
+
+    The scale path: centroids come from a proper sampled k-means in practice;
+    the assignment/search plumbing (broadcast centroid table, argmin select,
+    within-cell probe join) is identical and is what this operator
+    establishes — deterministically, so the DuckDB oracle can check it."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cid").asc())
+    cents = (
+        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_cells)
+        .drop("rn")
+    )
+    dist = (
+        "aggregate(zip_with(v, c, (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), cast(0.0 as double),"
+        " (acc, d) -> acc + d)"
+    )
+    pairs = (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(dist))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact cosine top-k restricted to same-cell candidates."""
+    from pyspark.sql.window import Window
+
+    cells = ivf_assign(vectors, n_cells, id_col, vec_col)
+    v = vectors.join(cells, id_col)
+    left = with_norm(v, vec_col).select(
+        F.col(id_col).alias("qid"), "cell", F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    )
+    right = with_norm(v, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.expr(_dot("_va", "_vb")) / (F.col("_na") * F.col("_nb")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id", "cos_sim", "rank")
+    )

@@ -546,3 +546,20 @@ def q_lineitem_pricing_summary(spark, sf_dir):
 
 
 QUERIES["lineitem_pricing_summary"] = q_lineitem_pricing_summary
+
+
+def q_ivf_cells(spark, sf_dir):
+    c = _sim.ivf_assign(load(spark, sf_dir, "embeddings"), n_cells=8)
+    return c.select(F.col("vec_id").cast("bigint"), F.col("cell").cast("bigint"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    t = _sim.ivf_topk(load(spark, sf_dir, "embeddings"), k=3, n_cells=8)
+    return t.select(
+        F.col("vec_id").cast("bigint"), F.col("neighbor_id").cast("bigint"),
+        F.round("cos_sim", 6).alias("cos_sim"), F.col("rank").cast("bigint"),
+    )
+
+
+QUERIES["ivf_cells"] = q_ivf_cells
+QUERIES["ivf_topk"] = q_ivf_topk

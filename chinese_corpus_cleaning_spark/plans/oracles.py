@@ -478,6 +478,7 @@ group by r_name"""
     o.update(build_ann())
     o.update(build_salted())
     o.update(build_tpch())
+    o.update(build_ivf())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -678,3 +679,34 @@ from lineitem
 where l_shipdate <= '1998-09-02'
 group by l_returnflag, l_linestatus""".strip()
     }
+
+
+def build_ivf() -> dict[str, str]:
+    cells_cte = """
+v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+cents as (select vec_id as cid, e as c from v order by vec_id limit 8),
+dists as (
+  select v.vec_id, cents.cid,
+    list_sum(list_transform(generate_series(1, 64), i -> (v.e[i] - cents.c[i]) * (v.e[i] - cents.c[i]))) as d2
+  from v cross join cents),
+cells as (
+  select vec_id, cid as cell from (
+    select *, row_number() over (partition by vec_id order by d2 asc, cid asc) as rn
+    from dists) where rn = 1)"""
+    o = {}
+    o["ivf_cells"] = f"""
+with {cells_cte}
+select vec_id::bigint as vec_id, cell::bigint as cell from cells"""
+    o["ivf_topk"] = f"""
+with {cells_cte},
+n as (select v.vec_id, cells.cell, e, sqrt(list_sum(list_transform(e, x -> x * x))) as nrm
+      from v join cells on v.vec_id = cells.vec_id),
+p as (
+  select a.vec_id as vec_id, b.vec_id as neighbor_id,
+    list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) as cos_sim
+  from n a join n b using (cell) where a.vec_id <> b.vec_id),
+r as (select *, row_number() over (partition by vec_id order by cos_sim desc, neighbor_id) as rank from p)
+select vec_id::bigint as vec_id, neighbor_id::bigint as neighbor_id,
+       round(cos_sim, 6) as cos_sim, rank::bigint as rank
+from r where rank <= 3"""
+    return {k: v.strip() for k, v in o.items()}
