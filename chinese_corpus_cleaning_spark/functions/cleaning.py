@@ -143,6 +143,14 @@ def _chunk_dedup(s: str, window: int) -> str:
 def remove_long_repeated_substrings(
     s: str, min_len: int = 21, work_budget_factor: int = 32
 ) -> str:
+    """See remove_long_repeated_substrings_ex; this wrapper drops the
+    fell-back flag for callers that only want the text."""
+    return remove_long_repeated_substrings_ex(s, min_len, work_budget_factor)[0]
+
+
+def remove_long_repeated_substrings_ex(
+    s: str, min_len: int = 21, work_budget_factor: int = 32
+) -> tuple[str, bool]:
     """Delete the 2nd+ occurrences of every repeated substring of length
     >= ``min_len``; keep the first occurrence; merge deletion intervals that
     touch (gap <= 1 merges, clear_redundancy.py:150-159).
@@ -163,12 +171,17 @@ def remove_long_repeated_substrings(
     is fixed-window chunk dedup (keep the first occurrence of each distinct
     ``min_len``-char window), which collapses boilerplate/menu spam the same
     way the exact algorithm would, in O(n).
+
+    Returns ``(text, fell_back)``: ``fell_back`` is True iff the approximate
+    chunk-dedup path ran instead of the exact suffix-automaton path, so
+    parity audits can exclude (and pipelines can count) over-budget docs —
+    the byte-identical-to-reference guarantee holds only when it is False.
     """
     n = len(s)
     # a length->=min_len substring occurring twice (occurrences may overlap)
     # needs at least min_len+1 chars
     if n <= min_len:
-        return s
+        return s, False
 
     # suffix automaton: arrays of (len, link, transitions dict)
     sa_len = [0]
@@ -219,10 +232,10 @@ def remove_long_repeated_substrings(
         st for st in range(len(sa_len)) if sa_len[st] >= min_len and cnt[st] >= 2
     ]
     if not qualifying:
-        return s
+        return s, False
     total_work = sum(cnt[st] for st in qualifying)
     if total_work > work_budget_factor * n:
-        return _chunk_dedup(s, min_len)
+        return _chunk_dedup(s, min_len), True
 
     # materialize end positions only for qualifying states: each original
     # (non-clone) state carries one end position, which belongs to every
@@ -238,7 +251,7 @@ def remove_long_repeated_substrings(
         while node > 0:
             walk_budget -= 1
             if walk_budget < 0:
-                return _chunk_dedup(s, min_len)
+                return _chunk_dedup(s, min_len), True
             if node in qual:
                 positions[node].append(p)
             node = sa_link[node]
@@ -260,7 +273,7 @@ def remove_long_repeated_substrings(
         intervals.sort(key=lambda x: x[0])
         to_remove.extend(intervals[1:])
     if not to_remove:
-        return s
+        return s, False
 
     to_remove.sort()
     merged: list[list[int]] = [list(to_remove[0])]
@@ -278,7 +291,7 @@ def remove_long_repeated_substrings(
         idx = b + 1
     if idx < n:
         pieces.append(s[idx:])
-    return "".join(pieces)
+    return "".join(pieces), False
 
 
 # --- perplexity-stage preprocessing (P7) -----------------------------------

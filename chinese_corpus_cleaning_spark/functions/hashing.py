@@ -26,9 +26,14 @@ def h60(s: str) -> int:
 
 def char_shingles(text: str, k: int = 5) -> list[str]:
     """Distinct character k-shingles in first-occurrence order; texts shorter
-    than k yield the text itself (so short docs still get a signature)."""
+    than k yield the text itself (so short docs still get a signature).
+    Empty text yields [''] — ONE empty shingle, matching the Spark expression
+    in operators/dedup._shingle_hash_expr and the DuckDB oracle (_SHINGLES5),
+    so all three engines give identical signatures for empty docs (an empty
+    list here would make minhash_signature emit the all-P sentinel while
+    Spark/DuckDB hash '')."""
     if len(text) < k:
-        return [text] if text else []
+        return [text]
     seen: dict[str, None] = {}
     for i in range(len(text) - k + 1):
         seen.setdefault(text[i : i + k])

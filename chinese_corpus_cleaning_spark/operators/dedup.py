@@ -177,9 +177,13 @@ def minhash_similarity_pairs(
 ) -> DataFrame:
     """Candidate pairs with estimated Jaccard (fraction of agreeing minhash
     slots) >= cfg.similarity_threshold. Returns (id_a, id_b, est_jaccard)."""
-    signed = with_minhash(docs, cfg, id_col, text_col).cache()
-    signed.count()  # eager: three downstream branches scan it; without this
-    # the first job recomputes the signature stage once per branch
+    # eager localCheckpoint: three downstream branches scan the signatures;
+    # without materialization the first job recomputes the signature stage
+    # once per branch. localCheckpoint (not cache+count) because it (a) costs
+    # ONE job instead of two, (b) truncates lineage, and (c) doesn't pin
+    # executor storage across repeated invocations in a long-lived driver
+    # (blocks are freed when the DataFrame is GC'd, no unpersist bookkeeping).
+    signed = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(signed, id_col, max_band_bucket)
     sig_a = signed.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
     sig_b = signed.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
@@ -300,7 +304,7 @@ def simhash_udf():
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 5_000_000
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 2_000_000
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) ->
     (id, component) with component = min id reachable.
@@ -311,9 +315,17 @@ def connected_components(
     vs ~2 minutes of per-iteration job latency in the distributed loop);
     above it, iterative min-label propagation with pointer jumping as
     DataFrame joins, localCheckpointed per iteration to truncate lineage
-    (SURVEY.md §4 item 4), converging in O(log diameter)."""
-    edges = edges.cache()  # the threshold count and the chosen strategy both
-    # scan the edge list; without this the upstream pair pipeline runs twice
+    (SURVEY.md §4 item 4), converging in O(log diameter).
+
+    Threshold sizing: a collected edge Row is two 8-byte ids plus ~150 B of
+    Row/object overhead in the Python driver, so 2M edges is ~330 MB of
+    driver heap — comfortably inside the default 4 GB driver with headroom
+    for the union-find dict (~60 B/entry). Raise it only with a bigger
+    driver."""
+    # materialize once: the threshold count and the chosen strategy both scan
+    # the edge list; without this the upstream pair pipeline runs twice.
+    # localCheckpoint (not cache) — lineage truncated, storage auto-freed.
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         return _cc_driver(edges)
@@ -344,9 +356,11 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
         nodes.add(r["id_b"])
     out = [(n, find(n)) for n in nodes]
     spark = edges.sparkSession
-    if not out:
-        return spark.createDataFrame([], "id long, comp long")
     schema_type = edges.schema["id_a"].dataType.simpleString()
+    if not out:
+        # derive the id type from the edges schema here too: a hardcoded
+        # 'long' would type-mismatch downstream joins for string doc ids
+        return spark.createDataFrame([], f"id {schema_type}, comp {schema_type}")
     return spark.createDataFrame(out, f"id {schema_type}, comp {schema_type}")
 
 
@@ -359,43 +373,46 @@ def _cc_distributed(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .union(edges.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr")))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     labels = sym.groupBy("id").agg(
         F.least(F.min("nbr"), F.col("id")).alias("comp")
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
+        prev = labels.select("id", F.col("comp").alias("prev_comp"))
         # (1) propagate each node's label to neighbors; take the min seen
         prop = (
             sym.join(labels, "id")
             .groupBy(F.col("nbr").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(prop, "id", "left")
-            .withColumn("new_comp", F.least("comp", F.coalesce("nbr_comp", "comp")))
-            .select("id", F.col("new_comp").alias("comp"))
+        step1 = prev.join(prop, "id", "left").select(
+            "id",
+            "prev_comp",
+            F.least("prev_comp", F.coalesce("nbr_comp", "prev_comp")).alias("comp"),
         )
         # (2) pointer jumping: comp <- label(comp). Halves path lengths each
         # iteration => O(log diameter) convergence instead of O(diameter)
-        parent = new_labels.select(
+        parent = step1.select(
             F.col("id").alias("comp"), F.col("comp").alias("parent_comp")
         )
-        new_labels = (
-            new_labels.join(parent, "comp", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("parent_comp", "comp")).alias("comp"),
-            )
+        step2 = step1.join(parent, "comp", "left").select(
+            "id",
+            "prev_comp",
+            F.least(F.col("comp"), F.coalesce("parent_comp", "comp")).alias("comp"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+        # convergence check piggybacks on the checkpoint job via observe():
+        # zero extra Spark jobs per iteration (the old per-iteration
+        # join+limit+count added a full job each loop)
+        obs = Observation(f"cc_iter_{i}")
+        observed = step2.observe(
+            obs,
+            F.sum((F.col("comp") != F.col("prev_comp")).cast("long")).alias(
+                "n_changed"
+            ),
         )
-        labels = new_labels
-        if changed == 0:
+        labels = observed.select("id", "comp").localCheckpoint(eager=True)
+        if obs.get["n_changed"] == 0:
             break
     return labels
 
@@ -441,11 +458,28 @@ def dedup_representatives(
 # -------------------------------------------------------------- skew salting
 
 
-def salt_hot_keys(df: DataFrame, key_col: str, threshold: int, salt_buckets: int) -> DataFrame:
+def salt_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    salt_buckets: int,
+    salt_src_cols: list[str] | None = None,
+) -> DataFrame:
     """Skew pre-pass (SURVEY.md §4 item 2): keys whose frequency exceeds
-    ``threshold`` get a salted key ``key#<pmod(xxhash64(rand_src), S)>`` so one
+    ``threshold`` get a salted key ``key#<pmod(xxhash64(salt_src), S)>`` so one
     hot boilerplate page family spreads over S reducers; cold keys keep key#0.
-    The hot-key table is tiny -> broadcast join."""
+    The hot-key table is tiny -> broadcast join.
+
+    The salt is derived from STABLE row content (``salt_src_cols``, default:
+    every column except the key), never from monotonically_increasing_id() or
+    rand(): those change across task recomputation, so a retried upstream
+    stage could re-salt rows after a downstream stage consumed the old salts —
+    a correctness hazard under fault recovery. Deterministic salting keeps the
+    plan replayable (same doctrine as plans/oracles.py)."""
+    if salt_src_cols is None:
+        salt_src_cols = [c for c in df.columns if c != key_col]
+    if not salt_src_cols:
+        salt_src_cols = [key_col]
     hot = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -453,17 +487,14 @@ def salt_hot_keys(df: DataFrame, key_col: str, threshold: int, salt_buckets: int
         .select(key_col)
         .withColumn("is_hot", F.lit(True))
     )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src_cols]), F.lit(salt_buckets))
     return (
         df.join(F.broadcast(hot), key_col, "left")
         .withColumn(
             "salted_key",
             F.when(
                 F.col("is_hot").isNotNull(),
-                F.concat_ws(
-                    "#",
-                    F.col(key_col).cast("string"),
-                    F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("string"),
-                ),
+                F.concat_ws("#", F.col(key_col).cast("string"), salt.cast("string")),
             ).otherwise(F.concat(F.col(key_col).cast("string"), F.lit("#0"))),
         )
         .drop("is_hot")

@@ -114,10 +114,24 @@ def run(
         ),
         F.sum(F.col("error").isNotNull().cast("long")).alias("error"),
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    observed.write.mode("overwrite" if not resume else "append").partitionBy(
-        "part_id"
-    ).parquet(labels_path)
+    # Write modes (idempotency contract):
+    #   fresh run  -> static overwrite: the output dir is fully replaced, so
+    #                 stale part_id dirs from an earlier wider run can't leak
+    #                 into the recomputed stats;
+    #   resume     -> overwrite with DYNAMIC partition overwrite: only the
+    #                 re-run partitions are replaced, so a crash between the
+    #                 labels commit and the lineage write re-runs those
+    #                 partitions idempotently (an append here would duplicate
+    #                 their rows). The mode is a writer option, not a session
+    #                 conf — nothing leaks into other writes on this session.
+    (
+        observed.write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode", "dynamic" if resume else "static"
+        )
+        .partitionBy("part_id")
+        .parquet(labels_path)
+    )
 
     # per-partition lineage written after the labels action commits
     lineage = (

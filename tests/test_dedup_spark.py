@@ -67,7 +67,9 @@ def test_connected_components_chain(spark):
 
 def test_salt_hot_keys(spark):
     df = spark.createDataFrame(
-        [("hot",)] * 100 + [("cold%d" % i,) for i in range(20)], ["host"]
+        [("hot", i) for i in range(100)]
+        + [("cold%d" % i, 1000 + i) for i in range(20)],
+        ["host", "doc_id"],
     )
     salted = dedup.salt_hot_keys(df, "host", threshold=50, salt_buckets=8)
     hot_keys = (
@@ -78,6 +80,29 @@ def test_salt_hot_keys(spark):
     )
     assert 2 <= hot_keys <= 8
     assert cold_keys == 20
+
+
+def test_salt_hot_keys_deterministic_across_materializations(spark):
+    """The salt must be a pure function of stable row content: a task retry
+    (here: a second materialization of the same plan) re-derives identical
+    salted keys, so downstream stages never see rows move between buckets
+    under fault recovery."""
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(100)]
+        + [("cold%d" % i, 1000 + i) for i in range(20)],
+        ["host", "doc_id"],
+    )
+    plan = dedup.salt_hot_keys(df, "host", threshold=50, salt_buckets=8)
+    first = {r["doc_id"]: r["salted_key"] for r in plan.collect()}
+    second = {r["doc_id"]: r["salted_key"] for r in plan.collect()}
+    # repartition forces different task boundaries; assignment must not move
+    third = {
+        r["doc_id"]: r["salted_key"]
+        for r in dedup.salt_hot_keys(
+            df.repartition(7), "host", threshold=50, salt_buckets=8
+        ).collect()
+    }
+    assert first == second == third
 
 
 def test_host_rollup_salted_matches_direct(spark):
@@ -95,3 +120,45 @@ def test_host_rollup_salted_matches_direct(spark):
     # the generator's hot host really is skewed (~30% of docs)
     hot = salted[gen.HOT_HOST][0]
     assert 0.2 * 800 < hot < 0.4 * 800
+
+
+def test_empty_text_signature_matches_python_helper(spark):
+    """Empty text: the Spark expression, the DuckDB oracle and the Python
+    helper must all hash ONE '' shingle (not emit the all-P sentinel)."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+    from chinese_corpus_cleaning_spark.functions import hashing
+
+    assert hashing.char_shingles("") == [""]
+    cfg = DedupConfig(num_hashes=16, num_bands=4, shingle_size=5)
+    df = spark.createDataFrame([(1, ""), (2, "ab")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["minhash"])
+        for r in dedup.with_minhash(df, cfg).collect()
+    }
+    for doc_id, text in ((1, ""), (2, "ab")):
+        expect = hashing.minhash_signature(hashing.char_shingles(text, 5), 16)
+        assert got[doc_id] == expect
+    assert got[1] != [hashing.MINHASH_P] * 16
+
+
+def test_cc_driver_empty_edges_preserves_id_type(spark):
+    """String doc ids + zero edges must still yield a string comp column."""
+    edges = spark.createDataFrame([], "id_a string, id_b string")
+    out = dedup.connected_components(edges)
+    assert dict(out.dtypes) == {"id": "string", "comp": "string"}
+    assert out.count() == 0
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    """Force the distributed min-label/pointer-jump loop (driver_threshold=0)
+    and check it against the driver union-find on a chain + ring + singleton
+    topology; also exercises the observe()-based convergence check."""
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (20, 21)]
+    edges = spark.createDataFrame(raw, ["id_a", "id_b"])
+    dist = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(edges, driver_threshold=0).collect()
+    }
+    drv = {r["id"]: r["comp"] for r in dedup._cc_driver(edges).collect()}
+    assert dist == drv
+    assert dist[5] == 1 and dist[12] == 10 and dist[21] == 20

@@ -180,10 +180,11 @@ def test_partial_resume_processes_only_missing_partitions(spark, docs, tmp_path)
     full.count()
     kept_parts = [0, 1]
     partial = full.where(F.col("part_id").isin(kept_parts))
-    # run() leaves partitionOverwriteMode=dynamic, under which this rewind
-    # would only touch partitions present in `partial`; force a full replace
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    partial.write.mode("overwrite").partitionBy("part_id").parquet(labels_path)
+    # full replace of the output dir (run() scopes its overwrite mode to the
+    # writer, so nothing leaks into the session — use the writer option here)
+    partial.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("part_id").parquet(labels_path)
     (
         partial.groupBy("part_id")
         .agg(
