@@ -8,6 +8,7 @@ codegen, no Python in the hot path) and have exact DuckDB oracle equivalents.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,6 +89,56 @@ def quality_stats_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.min(F.length(text_col)).alias("min_chars"),
             F.max(F.length(text_col)).alias("max_chars"),
         )
+    )
+
+
+def feature_ac_matches(
+    docs: DataFrame,
+    patterns: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """W2 Aho-Corasick all-overlapping-matches detection, distributed:
+    (doc_id, n_matches, n_distinct_patterns, first_match_pos).
+
+    The automaton (functions/aho_corasick.py — semantics of reference
+    feature_words.py:12-103, differential-tested) is built ONCE on the driver
+    and broadcast; matching runs inside one Arrow-batched pandas UDF per doc
+    batch (flat-array automaton pickles cleanly — no TrieBox indirection
+    needed). Map-side only: no shuffle, scales linearly with the corpus.
+    first_match_pos is -1 when nothing matches."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.aho_corasick import build_automaton
+
+    bc = docs.sparkSession.sparkContext.broadcast(build_automaton(patterns))
+    schema = StructType(
+        [
+            StructField("n_matches", IntegerType()),
+            StructField("n_distinct_patterns", IntegerType()),
+            StructField("first_match_pos", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def ac_stats(texts: pd.Series) -> pd.DataFrame:
+        auto = bc.value
+        rows = [auto.count_matches(t or "") for t in texts]
+        return pd.DataFrame(
+            rows, columns=["n_matches", "n_distinct_patterns", "first_match_pos"]
+        )
+
+    return docs.select(
+        F.col(id_col), ac_stats(F.col(text_col)).alias("_ac")
+    ).select(
+        id_col,
+        F.col("_ac.n_matches").alias("n_matches"),
+        F.col("_ac.n_distinct_patterns").alias("n_distinct_patterns"),
+        F.col("_ac.first_match_pos").alias("first_match_pos"),
     )
 
 

@@ -40,6 +40,20 @@ _SMALL_MINHASH = DedupConfig(
 # lexicon for SQL-checkable DFA/scrub queries (see module docstring)
 EN_LEXICON = ("spark", "vector", "window", "stream", "customer")
 
+# lexicon for the W2 Aho-Corasick gate query: deliberately OVERLAPPING and
+# NESTED patterns (substrings/suffixes of each other, one crossing a token
+# boundary) so the all-matches semantics differ from the DFA shortest-match
+# engine. Every pattern is border-free (no proper prefix == suffix), so its
+# total occurrence count equals the non-overlapping literal count — which is
+# what makes the DuckDB oracle exact.
+AC_LEXICON = (
+    "spark", "park", "ark", "spa",
+    "stream", "tre", "ream",
+    "custom", "tom", "ust", "me",
+    "win", "ind", "dow",
+    "a", "e t",
+)
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -563,3 +577,22 @@ def q_ivf_topk(spark, sf_dir):
 
 QUERIES["ivf_cells"] = q_ivf_cells
 QUERIES["ivf_topk"] = q_ivf_topk
+
+
+def q_feature_ac_matches(spark, sf_dir):
+    """W2 Aho-Corasick all-overlapping matches (feature_words.py:12-103)
+    through the REAL broadcast automaton + pandas UDF, on a nested/overlapping
+    lexicon. The oracle recounts per-pattern literal occurrences (exact for
+    border-free patterns). Match POSITIONS (incl. the reference's
+    depth-of-merged-node quirk) are covered by the differential fuzz suite
+    (tests/test_aho_corasick_differential.py) — not SQL-expressible."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textanalysis.feature_ac_matches(d, AC_LEXICON)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("n_distinct_patterns").cast("bigint").alias("n_distinct_patterns"),
+    )
+
+
+QUERIES["feature_ac_matches"] = q_feature_ac_matches

@@ -20,7 +20,15 @@ from __future__ import annotations
 from ..config import DEFAULT
 from ..functions.hashing import h60
 from ..functions.langid import STOPWORDS
-from .catalog import EN_LEXICON, RX_CJK, RX_EMOJI, RX_SYMBOL, RX_URL, _SMALL_MINHASH
+from .catalog import (
+    AC_LEXICON,
+    EN_LEXICON,
+    RX_CJK,
+    RX_EMOJI,
+    RX_SYMBOL,
+    RX_URL,
+    _SMALL_MINHASH,
+)
 
 R = DEFAULT.rule
 
@@ -479,7 +487,26 @@ group by r_name"""
     o.update(build_salted())
     o.update(build_tpch())
     o.update(build_ivf())
+    o.update(build_ac())
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_ac() -> dict[str, str]:
+    """W2 Aho-Corasick match counts. AC reports every (pattern, end-position)
+    occurrence exactly once, so n_matches = sum of per-pattern literal
+    occurrence counts; border-free patterns (AC_LEXICON invariant) make the
+    non-overlapping replace-count equal the total count."""
+    total = " + ".join(_occ("text", w.replace("'", "''")) for w in AC_LEXICON)
+    distinct = " + ".join(
+        f"case when {_occ('text', w)} > 0 then 1 else 0 end" for w in AC_LEXICON
+    )
+    return {
+        "feature_ac_matches": f"""
+select doc_id::bigint as doc_id,
+  ({total})::bigint as n_matches,
+  ({distinct})::bigint as n_distinct_patterns
+from documents""".strip()
+    }
 
 
 def build_extra() -> dict[str, str]:
