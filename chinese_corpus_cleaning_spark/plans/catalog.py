@@ -596,3 +596,39 @@ def q_feature_ac_matches(spark, sf_dir):
 
 
 QUERIES["feature_ac_matches"] = q_feature_ac_matches
+
+
+def q_ppl_spam_adjust(spark, sf_dir):
+    """lmppl spam-pattern perplexity contract (lmppl_perplexity.py:83-85,
+    :204-206) on top of the n-gram scorer: docs with doc_id % 7 == 0 get a
+    spam marker appended (deterministically, on BOTH engines) so the
+    inflation branch ppl' = max(ppl*1.5, 1.2*thr) and the hard-fail are
+    exercised; the flag itself runs the full 12-regex + pipe-ratio +
+    punct-ratio detector (functions/spam.py)."""
+    from ..functions import spam as _spam
+    from ..operators import perplexity as _ppl
+
+    thr = 200.0
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    model = _ppl.ngram_counts(docs, n=3)
+    ppl = _ppl.perplexity_relational(docs, model, n=3).select("doc_id", "ppl")
+    flagged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 在线 播放")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text2"),
+    ).withColumn("has_spam", _spam.has_spam_col("text2"))
+    joined = ppl.join(flagged.select("doc_id", "has_spam"), "doc_id")
+    adj = _spam.adjusted_ppl_col("ppl", "has_spam", thr)
+    return joined.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("has_spam"),
+        F.round(adj, 2).alias("adj_ppl"),
+        ((adj <= F.lit(thr)) & ~F.col("has_spam")).alias("ppl_pass"),
+    )
+
+
+QUERIES["ngram_ppl_spam_adjust"] = q_ppl_spam_adjust

@@ -488,7 +488,58 @@ group by r_name"""
     o.update(build_tpch())
     o.update(build_ivf())
     o.update(build_ac())
+    o.update(build_spam())
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_spam() -> dict[str, str]:
+    """lmppl spam-adjusted perplexity: the ppl CTEs mirror ngram_perplexity;
+    the spam flag mirrors functions/spam.has_spam_col term-for-term (12 RE2
+    regexes + pipe ratio + punctuation ratio); threshold literals identical."""
+    from ..functions.spam import PUNCTUATION, SPAM_PATTERNS
+
+    ngram_toks = "['<s>', '<s>'] || string_split(text, ' ') || ['</s>']"
+    rx = " or ".join(f"regexp_matches(text2, '{p}')" for p in SPAM_PATTERNS)
+    pipe = "(length(text2) - length(replace(text2, '|', '')))"
+    punct = " + ".join(
+        f"(length(text2) - length(replace(text2, '{c}', '')))" for c in PUNCTUATION
+    )
+    spam_expr = (
+        f"({rx}) or ({pipe} > 0 and {pipe} / length(text2) > 0.01)"
+        f" or (({punct}) / length(text2) > 0.15)"
+    )
+    sql = f"""
+with t2 as (
+  select doc_id,
+    text || case when doc_id % 7 = 0 then ' 在线 播放' else '' end as text2
+  from documents),
+spamf as (select doc_id, ({spam_expr}) as has_spam from t2),
+toks as (select doc_id, ({ngram_toks}) as t from documents),
+grams as (
+  select doc_id, unnest(list_transform(generate_series(3, len(t)),
+    i -> {{'context': array_to_string(t[i-2 : i-1], chr(31)), 'word': t[i]}}),
+    recursive := true)
+  from toks),
+model as (select context, word, count(*) as cnt from grams group by 1, 2),
+ctx as (select context, sum(cnt) as ctx_cnt from model group by 1),
+v as (select count(distinct tok) as v from (select unnest(string_split(text, ' ')) as tok from documents)),
+pplt as (
+  select g.doc_id,
+    pow(2.0, -avg(greatest(log2((coalesce(m.cnt, 0) + 0.1) / (coalesce(c.ctx_cnt, 0) + 0.1 * v.v)), -100.0))) as ppl
+  from grams g
+  left join model m on m.context = g.context and m.word = g.word
+  left join ctx c on c.context = g.context
+  cross join v
+  group by g.doc_id),
+adj as (
+  select p.doc_id, s.has_spam,
+    case when s.has_spam then greatest(p.ppl * 1.5, 240.0) else p.ppl end as adj_ppl_raw
+  from pplt p join spamf s on p.doc_id = s.doc_id)
+select doc_id::bigint as doc_id, has_spam,
+  round(adj_ppl_raw, 2) as adj_ppl,
+  (adj_ppl_raw <= 200.0 and not has_spam) as ppl_pass
+from adj"""
+    return {"ngram_ppl_spam_adjust": sql.strip()}
 
 
 def build_ac() -> dict[str, str]:
