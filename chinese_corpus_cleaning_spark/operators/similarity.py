@@ -181,6 +181,44 @@ def duplicate_ratio(
     )
 
 
+def duplicate_ratio_ann(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCTION duplicate-ratio: per-vector max cosine restricted to
+    same-RP-LSH-bucket candidates (equi-join on bucket — shuffle hash join,
+    AQE-splittable), vectors alone in their bucket get 0.0. This is the
+    100 TB-safe wiring of the reference's get_duplicate_ratio
+    (clustering.py:169-185): candidate space shrinks ~2^n_planes vs the
+    all-pairs ``duplicate_ratio`` (kept as the oracle-checkable exact spec).
+    Returns (vec_id, dup_ratio) for EVERY input vector."""
+    b = rp_lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
+    v = vectors.join(b, id_col)
+    left = with_norm(v, vec_col).select(
+        F.col(id_col).alias("qid"), "bucket", F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
+    )
+    right = with_norm(v, vec_col).select(
+        F.col(id_col).alias("nid"), "bucket", F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    max_cos = (
+        left.join(right, "bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("cos", F.expr(_dot("_va", "_vb")) / (F.col("_na") * F.col("_nb")))
+        .groupBy(F.col("qid").alias(id_col))
+        .agg(F.max("cos").alias("_max_cos"))
+    )
+    return (
+        vectors.select(id_col)
+        .join(max_cos, id_col, "left")
+        .select(
+            id_col, F.coalesce("_max_cos", F.lit(0.0)).alias("dup_ratio")
+        )
+    )
+
+
 def cluster_score_col(dup_ratio_col: str, threshold: float = 0.85):
     """J3 cluster score (clustering.py:187-207) as a native Column:
       ratio >= thr: max(0, 0.2 * (1 - (ratio - thr)/(1 - thr)))
@@ -214,12 +252,13 @@ def ivf_assign(
     establishes — deterministically, so the DuckDB oracle can check it."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("cid").asc())
+    # lowest-n_cells ids via orderBy+limit => TakeOrderedAndProject (per-
+    # partition top-k + driver merge of n_cells rows), NOT a global single-
+    # partition Window sort over every vector
     cents = (
         vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_cells)
-        .drop("rn")
+        .orderBy(F.col("cid").asc())
+        .limit(n_cells)
     )
     dist = (
         "aggregate(zip_with(v, c, (x, y) -> (cast(x as double) - cast(y as double))"

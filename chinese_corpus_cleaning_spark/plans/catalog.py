@@ -632,3 +632,47 @@ def q_ppl_spam_adjust(spark, sf_dir):
 
 
 QUERIES["ngram_ppl_spam_adjust"] = q_ppl_spam_adjust
+
+
+def q_quality_keep_full_ann(spark, sf_dir):
+    """PRODUCTION 4-component composite: identical to quality_keep_full
+    except the clustering component derives dup_ratio from RP-LSH-bucketed
+    candidates (similarity.duplicate_ratio_ann — equi-join on bucket, no
+    crossJoin) instead of the O(n^2) all-pairs form. The exact form stays in
+    the catalog as the oracle-checkable spec (quality_keep_full); THIS is the
+    plan shape that runs at 100 TB — asserted CartesianProduct-free in
+    tests/test_plan_quality.py."""
+    from ..operators import perplexity as _ppl
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    base = with_quality(d, bc, DEFAULT).select(
+        "doc_id", "rule_score", "feature_score"
+    )
+    model = _ppl.ngram_counts(d, n=3)
+    ppl = _ppl.perplexity_relational(d, model, n=3).select(
+        "doc_id", _ppl.ppl_score_col("ppl").alias("ppl_score")
+    )
+    clus = _sim.duplicate_ratio_ann(
+        load(spark, sf_dir, "embeddings"), n_planes=8, dim=64
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        _sim.cluster_score_col("dup_ratio", 0.85).alias("cluster_score"),
+    )
+    joined = base.join(ppl, "doc_id").join(clus, "doc_id")
+    score = (
+        F.col("rule_score") * F.lit(DEFAULT.weight_rule)
+        + F.col("feature_score") * F.lit(DEFAULT.weight_feature)
+        + F.col("ppl_score") * F.lit(DEFAULT.weight_perplexity)
+        + F.col("cluster_score") * F.lit(DEFAULT.weight_clustering)
+    ) / F.lit(W_FULL_TOTAL)
+    return joined.select(
+        F.col("doc_id").cast("bigint"),
+        F.round("ppl_score", 6).alias("ppl_score"),
+        F.round("cluster_score", 6).alias("cluster_score"),
+        F.round(score, 6).alias("quality_score_full"),
+        (score >= F.lit(DEFAULT.quality_threshold)).alias("keep_full"),
+    )
+
+
+QUERIES["quality_keep_full_ann"] = q_quality_keep_full_ann

@@ -635,6 +635,31 @@ select vec_id::bigint as vec_id, round(dup_ratio, 6) as dup_ratio,
   round({cluster_case}, 6) as cluster_score
 from d"""
 
+    # ANN (RP-LSH-bucketed) dup-ratio CTE — mirrors
+    # similarity.duplicate_ratio_ann term-for-term: same bucket bits, same
+    # within-bucket max cosine, missing -> 0.0
+    def _duck_sign(plane: int, dim: int = 64) -> str:
+        signs = [1 if h60(f"{plane}|{d}") & 1 else -1 for d in range(dim)]
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}(embedding[{d + 1}]::double))"
+            for d, s in enumerate(signs)
+        )
+        return f"(case when ({terms}) > 0 then 1 else 0 end)"
+
+    _bucket = " + ".join(f"({_duck_sign(p)}::bigint * {1 << p})" for p in range(8))
+    _dot_ax = "list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * x.e[i]))"
+    ann_dup_cte = f"""
+with {_vn},
+bk as (select vec_id, ({_bucket})::bigint as bucket from embeddings),
+nb as (select n.vec_id, bk.bucket, n.e, n.nrm from n join bk on n.vec_id = bk.vec_id),
+mx as (
+  select a.vec_id, max({_dot_ax} / (a.nrm * x.nrm)) as max_cos
+  from nb a join nb x on a.bucket = x.bucket and a.vec_id <> x.vec_id
+  group by a.vec_id),
+d as (
+  select n.vec_id, coalesce(mx.max_cos, 0.0) as dup_ratio
+  from n left join mx on n.vec_id = mx.vec_id)"""
+
     ngram_toks = "['<s>', '<s>'] || string_split(text, ' ') || ['</s>']"
     wr, wf = DEFAULT.weight_rule, DEFAULT.weight_feature
     wp, wc = DEFAULT.weight_perplexity, DEFAULT.weight_clustering
@@ -684,6 +709,14 @@ select doc_id::bigint as doc_id,
   ((rule_score * {wr} + feature_score * {wf} + ppl_score * {wp}
          + cluster_score * {wc}) / {repr(W_FULL_TOTAL)}) >= {DEFAULT.quality_threshold} as keep_full
 from scored"""
+
+    # production variant: identical composite, clustering from the
+    # RP-LSH-bucketed dup ratio (what q_quality_keep_full_ann runs on Spark)
+    o["quality_keep_full_ann"] = o["quality_keep_full"].replace(
+        dup_ratio_cte.lstrip().removeprefix("with "),
+        ann_dup_cte.lstrip().removeprefix("with "),
+    )
+    assert o["quality_keep_full_ann"] != o["quality_keep_full"]
 
     return {k: v.strip() for k, v in o.items()}
 

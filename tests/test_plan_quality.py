@@ -54,3 +54,29 @@ def test_native_stages_are_codegen(spark):
     # formatted mode marks codegen'd nodes with "[codegen id : N]"
     assert "[codegen id :" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_production_composite_has_no_cartesian_product(spark):
+    """The PRODUCTION 4-component composite (quality_keep_full_ann) must not
+    contain a CartesianProduct / all-pairs join anywhere: the clustering
+    component goes through RP-LSH bucketed candidates (equi-join on bucket).
+    The only nested-loop join allowed is the single-row vocab-size broadcast
+    (BroadcastNestedLoopJoin over exactly one row)."""
+    from chinese_corpus_cleaning_spark.plans.catalog import q_quality_keep_full_ann
+
+    plan = _explained(q_quality_keep_full_ann(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_assign_has_no_global_window_sort(spark):
+    """Centroid selection must be TakeOrderedAndProject (per-partition top-k),
+    not a single-partition Window sort over the full vector set."""
+    from chinese_corpus_cleaning_spark.operators.similarity import ivf_assign
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = _explained(ivf_assign(vecs, n_cells=8))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Window allowed is the per-vector argmin (partitioned by vec_id)
+    for ln in plan.splitlines():
+        if "Window" in ln and "partitionBy" in ln.lower():
+            assert "vec_id" in ln, ln
