@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -676,3 +677,71 @@ def q_quality_keep_full_ann(spark, sf_dir):
 
 
 QUERIES["quality_keep_full_ann"] = q_quality_keep_full_ann
+
+
+def _string_udf(fn):
+    """Arrow-batched wrapper for a str -> str library function."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def u(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: fn(t or ""))
+
+    return u
+
+
+# deterministic messiness injected on BOTH engines: the fixture text is
+# clean single-line ASCII, so the cleanup operators would otherwise be
+# identity maps and the oracle would prove nothing
+_MESSY_SPARK = (
+    "concat('  ', replace(text, ' ', concat(char(9), ' ')), char(7), '  ')"
+)
+_P7_SUFFIX = " see http://ex.com/a?b=1 wow!!! fine...... ok"
+
+
+def q_clean_text(spark, sf_dir):
+    """P2 whitespace/control cleanup (tool.py:8-14) through the REAL python
+    function (functions/cleaning.clean_text) on deliberately messied text:
+    tabs injected between tokens, a BEL control char and padding appended.
+    Oracle = the same regexp chain in DuckDB (explicit ASCII whitespace
+    class — the fixture contains no unicode whitespace, where Python \\s and
+    RE2 \\s would diverge). Note the reference collapses whitespace BEFORE
+    removing control chars, so ' \\x07 ' leaves a double space — kept."""
+    from ..functions.cleaning import clean_text as _ct
+
+    d = load(spark, sf_dir, "documents")
+    messy = F.expr(_MESSY_SPARK)
+    return d.select(
+        "doc_id", _string_udf(_ct)(messy).alias("cleaned_text")
+    )
+
+
+def q_ppl_preprocess(spark, sf_dir):
+    """P7 perplexity preprocessing (lmppl_perplexity.py:92-125) through the
+    REAL python function: whitespace collapse -> URL -> [URL] -> !?-run
+    collapse -> dot-run collapse -> emoji strip. URLs/bangs/dots injected
+    for doc_id % 5 == 0 so every rewrite fires."""
+    from ..functions.cleaning import preprocess_for_ppl as _pp
+
+    d = load(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_P7_SUFFIX)).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", _string_udf(_pp)(t2).alias("ppl_text"))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """J4 first-occurrence line dedup (clear_redundancy.py:172-190) through
+    the REAL python function on a multi-line rendering of the fixture
+    (spaces -> newlines, so lines = tokens and duplicate lines exist)."""
+    from ..functions.cleaning import dedup_lines as _dl
+
+    d = load(spark, sf_dir, "documents")
+    t2 = F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+    return d.select("doc_id", _string_udf(_dl)(t2).alias("deduped_lines"))
+
+
+QUERIES["clean_text"] = q_clean_text
+QUERIES["ppl_preprocess"] = q_ppl_preprocess
+QUERIES["dedup_lines"] = q_dedup_lines

@@ -489,6 +489,7 @@ group by r_name"""
     o.update(build_ivf())
     o.update(build_ac())
     o.update(build_spam())
+    o.update(build_cleaning())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -718,6 +719,58 @@ from scored"""
     )
     assert o["quality_keep_full_ann"] != o["quality_keep_full"]
 
+    return {k: v.strip() for k, v in o.items()}
+
+
+def build_cleaning() -> dict[str, str]:
+    """P2 / P7 / J4-line oracles. The Spark side runs the REAL python
+    functions (functions/cleaning.py) via Arrow UDFs; these recompute the
+    regex chains in DuckDB with explicit ASCII whitespace classes ([ \\t\\n
+    \\x0b\\f\\r] — Python \\s and RE2 \\s agree on the ASCII fixture, and the
+    injected messiness is ASCII-only by construction)."""
+    o: dict[str, str] = {}
+    ws = "[ \\t\\n\\x0b\\f\\r]+"
+    ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    o["clean_text"] = f"""
+with m as (
+  select doc_id,
+    '  ' || replace(text, ' ', chr(9) || ' ') || chr(7) || '  ' as t
+  from documents)
+select doc_id,
+  trim(regexp_replace(regexp_replace(t, '{ws}', ' ', 'g'), '{ctrl}', '', 'g'))
+    as cleaned_text
+from m"""
+
+    nonws = "[^ \\t\\n\\x0b\\f\\r]"
+    url = f"https?://{nonws}+|www\\.{nonws}+"
+    suffix = " see http://ex.com/a?b=1 wow!!! fine...... ok"
+    o["ppl_preprocess"] = f"""
+with t2 as (
+  select doc_id,
+    text || case when doc_id % 5 = 0 then '{suffix}' else '' end as t
+  from documents)
+select doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    t, '{ws}', ' ', 'g'),
+    '{url}', '[URL]', 'g'),
+    '[!?]{{2,}}', '!', 'g'),
+    '[.]{{3,}}', '...', 'g'),
+    '{RX_EMOJI}', '', 'g') as ppl_text
+from t2"""
+
+    o["dedup_lines"] = """
+with toks as (
+  select doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) as ls
+  from documents),
+idx as (
+  select doc_id,
+    unnest(list_transform(generate_series(1, len(ls)),
+                          i -> {'tok': ls[i], 'i': i}), recursive := true)
+  from toks),
+firsts as (
+  select doc_id, tok, min(i) as i from idx group by doc_id, tok)
+select doc_id, array_to_string(list(tok order by i), chr(10)) as deduped_lines
+from firsts group by doc_id"""
     return {k: v.strip() for k, v in o.items()}
 
 
