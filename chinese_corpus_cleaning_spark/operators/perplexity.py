@@ -47,14 +47,28 @@ def _ngram_expr(text_col: str, n: int) -> str:
     )
 
 
-def ngram_counts(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Model table: (context, word, cnt). Pure native explode + hash agg."""
-    return (
+def ngram_counts(
+    docs: DataFrame, n: int = 3, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Model table: (context, word, cnt). Pure native explode + hash agg.
+
+    ``min_count`` > 1 prunes rare n-grams AFTER aggregation (a HAVING, so the
+    counts themselves are exact). This is the scale lever for 10^12-doc
+    corpora: the raw trigram table of a web crawl is dominated by singletons
+    (typically >70%); min_count=2 shrinks the model several-fold so it stays
+    broadcastable far longer, and beyond that the scorer switches to the
+    shuffle join (perplexity_relational(broadcast_model=False)). Downstream
+    smoothing treats pruned pairs as unseen — the standard count-cutoff LM
+    approximation."""
+    counts = (
         docs.select(F.explode(F.expr(_ngram_expr(text_col, n))).alias("g"))
         .select("g.context", "g.word")
         .groupBy("context", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if min_count > 1:
+        counts = counts.where(F.col("cnt") >= F.lit(min_count))
+    return counts
 
 
 def vocab_size(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -71,17 +85,29 @@ def perplexity_relational(
     id_col: str = "doc_id",
     text_col: str = "text",
     v: int | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
-    """(doc_id, ppl): explode doc n-grams, broadcast-join model counts,
-    smooth, aggregate. ``v`` = vocab size; when None it stays IN the plan
-    as a broadcast one-row cross join (no driver round trip — the whole
-    scorer remains a single lazy composable plan)."""
+    """(doc_id, ppl): explode doc n-grams, join model counts, smooth,
+    aggregate. ``v`` = vocab size; when None it stays IN the plan as a
+    broadcast one-row cross join (no driver round trip — the whole scorer
+    remains a single lazy composable plan).
+
+    ``broadcast_model``: True hints broadcast joins (the model fits executor
+    memory — the common case, map-side and shuffle-free on the corpus side).
+    False leaves the join strategy to Catalyst with no hint — for models too
+    big to broadcast (10^12-doc corpora even after min_count pruning) this
+    becomes a shuffle hash/sort-merge join on (context, word); the corpus
+    side shuffles once on the n-gram key. Cutover doctrine mirrors
+    connected_components': pick the physical strategy by data size."""
     ctx_tot = model.groupBy("context").agg(F.sum("cnt").alias("ctx_cnt"))
+    if broadcast_model:
+        model = F.broadcast(model)
+        ctx_tot = F.broadcast(ctx_tot)
     grams = docs.select(
         F.col(id_col), F.explode(F.expr(_ngram_expr(text_col, n))).alias("g")
     ).select(id_col, "g.context", "g.word")
-    joined = grams.join(F.broadcast(model), ["context", "word"], "left").join(
-        F.broadcast(ctx_tot), ["context"], "left"
+    joined = grams.join(model, ["context", "word"], "left").join(
+        ctx_tot, ["context"], "left"
     )
     if v is None:
         joined = joined.crossJoin(F.broadcast(vocab_size(docs, text_col)))

@@ -745,3 +745,14 @@ def q_dedup_lines(spark, sf_dir):
 QUERIES["clean_text"] = q_clean_text
 QUERIES["ppl_preprocess"] = q_ppl_preprocess
 QUERIES["dedup_lines"] = q_dedup_lines
+
+
+def q_ngram_train_pruned(spark, sf_dir):
+    """min_count-pruned n-gram model (the scale lever that keeps the model
+    broadcastable: singleton n-grams dominate web-crawl trigram tables)."""
+    return perplexity.ngram_counts(
+        load(spark, sf_dir, "documents"), n=3, min_count=2
+    ).select("context", "word", F.col("cnt").cast("bigint").alias("cnt"))
+
+
+QUERIES["ngram_lm_train_pruned"] = q_ngram_train_pruned

@@ -412,6 +412,16 @@ grams as (
   from toks)
 select context, word, count(*)::bigint as cnt from grams group by 1, 2"""
 
+    o["ngram_lm_train_pruned"] = f"""
+with toks as (select ({ngram_toks}) as t from documents),
+grams as (
+  select unnest(list_transform(generate_series(3, len(t)),
+    i -> {{'context': array_to_string(t[i-2 : i-1], chr(31)), 'word': t[i]}}),
+    recursive := true)
+  from toks)
+select context, word, count(*)::bigint as cnt from grams
+group by 1, 2 having count(*) >= 2"""
+
     o["ngram_perplexity"] = f"""
 with toks as (select doc_id, ({ngram_toks}) as t from documents),
 grams as (
