@@ -84,25 +84,37 @@ def evaluate_features(
     words = [w for _, w in matches]
 
     # per-line counts via match positions (equivalent to the reference's
-    # per-line count_sensitive_words calls, feature_words.py:184-198)
+    # per-line count_sensitive_words calls, feature_words.py:184-198).
+    # Positions come from the LOWERCASED text (dfa.py:62); str.lower() is not
+    # always length-preserving ('İ' -> 'i̇'), and on such texts lowered
+    # offsets skew against the original line boundaries — fall back to the
+    # reference's literal per-line rescan, which lowercases each line
+    # independently and never maps positions across the case fold.
     line_counts_sum = 0
     valid_line_count = 0
-    pos = 0
-    mi = 0
-    nm = len(matches)
-    for line in text.split("\n"):
-        end = pos + len(line)
-        if line.strip():
-            while mi < nm and matches[mi][0] < end:
-                line_counts_sum += 1
-                mi += 1
-        else:
-            # matches cannot start inside a blank line (no keyword is pure
-            # whitespace after strip), so no skipping needed
-            pass
-        if len(line.strip()) >= 5:
-            valid_line_count += 1
-        pos = end + 1  # +1 for the '\n'
+    if len(text.lower()) != len(text):
+        for line in text.split("\n"):
+            if line.strip():
+                line_counts_sum += len(scan_with_positions(line, trie))
+            if len(line.strip()) >= 5:
+                valid_line_count += 1
+    else:
+        pos = 0
+        mi = 0
+        nm = len(matches)
+        for line in text.split("\n"):
+            end = pos + len(line)
+            if line.strip():
+                while mi < nm and matches[mi][0] < end:
+                    line_counts_sum += 1
+                    mi += 1
+            else:
+                # matches cannot start inside a blank line (no keyword is
+                # pure whitespace after strip), so no skipping needed
+                pass
+            if len(line.strip()) >= 5:
+                valid_line_count += 1
+            pos = end + 1  # +1 for the '\n'
 
     avg = line_counts_sum / valid_line_count if valid_line_count > 0 else 0.0
     passed = avg <= cfg.max_feature_words_per_line

@@ -37,6 +37,10 @@ _ATOMS = st.sampled_from(
         "http://x.cn/a", "www.t.com", "abc.de", "1989", "1989年", "赌博", "色情",
         "特价", "促销", "优惠", "不包含", "没有", "广告", "系统", "电话",
         "加微信", "点击",
+        # length-changing-under-lower() chars: 'İ'.lower() == 'i̇' (2 chars).
+        # These skew any lowered-text position mapped onto the original text
+        # (VERDICT r1 item 5) — the per-line fallback must engage.
+        "İ", "ẞ", "İstanbul",
     ]
 )
 texts = st.lists(_ATOMS, min_size=0, max_size=120).map("".join)
@@ -186,3 +190,24 @@ def test_full_quality_decision_matches_reference(ref_modules, ref_rule):
         ) / (DEFAULT.weight_rule + DEFAULT.weight_feature)
         assert our_q == ref_q
         assert (our_q >= DEFAULT.quality_threshold) == (ref_q >= 0.8)
+
+
+def test_feature_eval_length_changing_case_fold(ref_modules):
+    """'İ'.lower() == 'i̇' (2 chars): lowered-text match positions skew
+    against original line boundaries. These exact texts mismatched the
+    reference before the per-line fallback guard (VERDICT r1 item 5)."""
+    det = _ref_detector(ref_modules)
+    trie = _ref_trie_cache(ref_modules)
+    for t in (
+        "İİİİİ\nabc赌博",
+        "İİİİİİİİ\nxxxxx特价",
+        "İ特价\n赌博abc",
+        "aaaaa\n特价İİİİ\n赌博bbbb",
+        "ẞİ促销\n优惠İẞ促销",
+    ):
+        ref_passed, ref_res = det.check_feature_words(t)
+        ours = evaluate_features(t, trie, FeatureConfig())
+        assert ours.passed == ref_passed, t
+        assert ours.feature_count == ref_res["feature_count"], t
+        assert ours.avg_per_line == ref_res["avg_per_line"], t
+        assert ours.score == det.get_feature_score(t), t
