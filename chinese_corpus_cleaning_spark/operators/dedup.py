@@ -300,6 +300,58 @@ def simhash_udf():
     return sh
 
 
+def simhash_near_dup_pairs(
+    simhashes: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-dup candidates the standard way at scale: split the
+    60-bit fingerprint into ``n_bands`` 15-bit bands; by pigeonhole, two
+    fingerprints within hamming distance < n_bands must agree on at least one
+    whole band, so an equi-join on (band_idx, band_value) finds all such
+    pairs — and MOST pairs at moderate distances — without an all-pairs scan.
+    Candidates are then exact-filtered on bit_count(xor) <= max_hamming.
+    Returns (id_a, id_b, hamming), id_a < id_b, deduped across bands.
+
+    Pure native exprs (shift/mask/xor/bit_count are all in whole-stage
+    codegen, and identical in DuckDB for the oracle). The band join is the
+    same shuffle shape as the MinHash LSH join — AQE-skew-splittable."""
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    bands = simhashes.select(
+        F.col(id_col).alias("id"),
+        F.col(sim_col).alias("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright({sim_col}, {b * width}) & {mask}").alias(
+                            "val"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "sh", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(right, ["band", "val"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.expr("bit_count(l.sh ^ r.sh)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )
+
+
 # -------------------------------------------------- connected components (CC)
 
 

@@ -756,3 +756,33 @@ def q_ngram_train_pruned(spark, sf_dir):
 
 
 QUERIES["ngram_lm_train_pruned"] = q_ngram_train_pruned
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash-banded near-dup pairs: 4x15-bit band equi-join (pigeonhole:
+    any pair within hamming < 4 must share a band) + exact bit_count(xor)
+    filter. The scale-shape companion to MinHash LSH for token-level dups."""
+    sims = dedup.simhash_df(load(spark, sf_dir, "documents"))
+    pairs = dedup.simhash_near_dup_pairs(sims, max_hamming=8, n_bands=4)
+    return pairs.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.col("hamming").cast("bigint"),
+    )
+
+
+QUERIES["simhash_near_dup_pairs"] = q_simhash_near_dup
+
+
+def q_segment_sample(spark, sf_dir):
+    """P7b head/middle/tail sentence sampling (lmppl_perplexity.py:127-154)
+    through the REAL python function on a multi-sentence rendering of the
+    fixture (' the ' -> '. ' so sentence counts vary per doc)."""
+    from ..functions.cleaning import extract_meaningful_segments as _ems
+
+    d = load(spark, sf_dir, "documents")
+    t2 = F.replace(F.col("text"), F.lit(" the "), F.lit(". "))
+    return d.select("doc_id", _string_udf(_ems)(t2).alias("sampled_text"))
+
+
+QUERIES["segment_sample"] = q_segment_sample

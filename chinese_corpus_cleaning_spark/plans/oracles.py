@@ -367,6 +367,26 @@ select id::bigint as doc_id,
        sum(case when s > 0 then (1::bigint << bit) else 0::bigint end)::bigint as simhash
 from bits group by id"""
 
+    o["simhash_near_dup_pairs"] = f"""
+with toks as (select doc_id as id, unnest(string_split(text, ' ')) as tok from documents),
+th as (select id, {_h60('tok')} as h from toks),
+bits as (
+  select id, bit, sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
+  from th cross join (select unnest(generate_series(0, 59)) as bit) b
+  group by id, bit),
+sims as (
+  select id,
+    sum(case when s > 0 then (1::bigint << bit) else 0::bigint end)::bigint as sh
+  from bits group by id),
+bands as (
+  select id, sh, b as band, (sh >> (b * 15)) & 32767 as val
+  from sims cross join (select unnest(generate_series(0, 3)) as b) bb),
+p as (
+  select a.id as id_a, x.id as id_b, bit_count(xor(a.sh, x.sh)) as hamming
+  from bands a join bands x on a.band = x.band and a.val = x.val and a.id < x.id)
+select distinct id_a::bigint as id_a, id_b::bigint as id_b, hamming::bigint as hamming
+from p where hamming <= 8"""
+
     o["fingerprint_winnow"] = f"""
 select doc_id::bigint as doc_id,
   list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
@@ -781,6 +801,25 @@ firsts as (
   select doc_id, tok, min(i) as i from idx group by doc_id, tok)
 select doc_id, array_to_string(list(tok order by i), chr(10)) as deduped_lines
 from firsts group by doc_id"""
+
+    # P7b: head/middle/tail sentence sampling (lmppl_perplexity.py:127-154):
+    # <=3 sentences -> text[:500]; else first-2 of each third joined by 。
+    o["segment_sample"] = """
+with t2 as (select doc_id, replace(text, ' the ', '. ') as t from documents),
+s as (
+  select doc_id, t,
+    list_filter(regexp_split_to_array(t, '[。！？.!?]'), x -> trim(x) <> '') as sents
+  from t2),
+sel as (select doc_id, t, sents, len(sents) as n, len(sents) // 3 as third from s)
+select doc_id,
+  case when n <= 3 then t[1:500]
+  else (array_to_string(
+    sents[1 : least(third, 2)]
+      || sents[third + 1 : third + least(third, 2)]
+      || sents[2 * third + 1 : 2 * third + least(n - 2 * third, 2)],
+    '。'))[1:500]
+  end as sampled_text
+from sel"""
     return {k: v.strip() for k, v in o.items()}
 
 
