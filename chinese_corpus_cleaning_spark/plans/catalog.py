@@ -19,6 +19,23 @@ The English mini-lexicon below exists because the driver's ``documents``
 table is ASCII word-salad; it exercises the REAL DFA/scrub UDF path against
 a SQL-expressible oracle (the words are chosen with no cross-word overlaps so
 DFA shortest-match scan == sequential replace, provably).
+
+NOT oracle-expressible (and deliberately absent here — verified instead by
+differential tests that EXECUTE the reference as the oracle,
+tests/test_functions_differential.py):
+  * P1 HTML->text (tool.py:38-63): stateful tag-subtree parsing — no SQL
+    twin exists in DuckDB; byte-parity unit/differential tested.
+  * P3 charset-whitelist clean (clear_redundancy.py:15-51): Python-re
+    unicode class semantics; byte-exact diff-fuzzed.
+  * P4 long-repeat removal (clear_redundancy.py:104-170): suffix-automaton
+    with interval merging — inherently iterative; byte-exact diff-fuzzed
+    within the work budget (fell-back docs flagged, see functions/cleaning).
+  * AC match POSITIONS (feature_words.py:96-101): reproduce the reference's
+    depth-of-merged-node quirk, unreachable from SQL; the match-count gate
+    entry (feature_ac_matches) covers the multiset, the diff fuzz covers
+    positions.
+K1/K7/A3 (writers, word-list merge) are file-side effects — covered by the
+Spark E2E tests (tests/test_pipeline_spark.py), not value oracles.
 """
 
 from __future__ import annotations
@@ -786,3 +803,50 @@ def q_segment_sample(spark, sf_dir):
 
 
 QUERIES["segment_sample"] = q_segment_sample
+
+
+def q_part_supplier_revenue(spark, sf_dir):
+    """TPC-H Q9-shaped profit rollup: lineitem joins a FILTERED part side
+    (p_size <= 20 — pushdown asserted by plan tests on the same pattern) and
+    supplier -> nation broadcast dims; grouped decimal aggregation. Exercises
+    the two previously-unused tables (part, supplier)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "p_brand")
+        .agg(
+            F.sum(d * (one - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+def q_top_orders_by_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped top-k: per-order revenue (decimal accumulation), top
+    20 overall with deterministic orderkey tie-break. orderBy+limit compiles
+    to TakeOrderedAndProject — no global single-partition sort."""
+    li = load(spark, sf_dir, "lineitem")
+    d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(d * (one - disc)).alias("rev_dec"))
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("orderkey").asc()).limit(20)
+
+
+QUERIES["part_supplier_revenue"] = q_part_supplier_revenue
+QUERIES["top_orders_by_revenue"] = q_top_orders_by_revenue

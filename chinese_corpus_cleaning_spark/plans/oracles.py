@@ -882,6 +882,24 @@ from events group by user_id""".strip()
 
 def build_tpch() -> dict[str, str]:
     return {
+        "part_supplier_revenue": """
+select n_name as nation, p_brand,
+  (sum(l_extendedprice::decimal(18,2)
+       * (1::decimal(18,2) - l_discount::decimal(18,2))))::double as revenue,
+  count(*)::bigint as n_lineitems
+from lineitem
+join part on l_partkey = p_partkey and p_size <= 20
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+group by n_name, p_brand""".strip(),
+        "top_orders_by_revenue": """
+with rev as (
+  select l_orderkey::bigint as orderkey,
+    (sum(l_extendedprice::decimal(18,2)
+         * (1::decimal(18,2) - l_discount::decimal(18,2))))::double as revenue
+  from lineitem group by l_orderkey)
+select orderkey, revenue from rev
+order by revenue desc, orderkey asc limit 20""".strip(),
         "lineitem_pricing_summary": """
 select l_returnflag, l_linestatus,
   (sum(l_quantity::decimal(18,2)))::double as sum_qty,
