@@ -184,9 +184,24 @@ def minhash_similarity_pairs(
     # executor storage across repeated invocations in a long-lived driver
     # (blocks are freed when the DataFrame is GC'd, no unpersist bookkeeping).
     signed = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(signed, id_col, max_band_bucket)
-    sig_a = signed.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
-    sig_b = signed.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
+    # materialize the candidate pairs so the id set can prune the signature
+    # re-attach: the two joins below would otherwise shuffle the FULL
+    # 128-slot signature table (~1 KB/doc) twice, and DEDUP_BREAKDOWN.md
+    # measured that re-attach as the dominant cost of the whole stage. Only
+    # ids that appear in some candidate pair need their signature moved —
+    # a semi-join against the (tiny) candidate-id set, which AQE converts to
+    # a broadcast join, prunes the rest map-side.
+    pairs = lsh_candidate_pairs(signed, id_col, max_band_bucket).localCheckpoint(
+        eager=True
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    slim = signed.join(cand_ids, id_col, "leftsemi")
+    sig_a = slim.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
+    sig_b = slim.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
     est = (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")

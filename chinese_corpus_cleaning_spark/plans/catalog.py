@@ -850,3 +850,27 @@ def q_top_orders_by_revenue(spark, sf_dir):
 
 QUERIES["part_supplier_revenue"] = q_part_supplier_revenue
 QUERIES["top_orders_by_revenue"] = q_top_orders_by_revenue
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """END-TO-END near-dup stage in the gate: exact dedup + banded-LSH
+    candidate pairs + similarity filter + connected components +
+    representative election (operators/dedup.dedup_representatives). The
+    DuckDB oracle recomputes the whole chain, closing components with a
+    recursive-CTE transitive closure (tractable at fixture scale; Spark runs
+    the adaptive union-find/min-label loop)."""
+    reps = dedup.dedup_representatives(
+        load(spark, sf_dir, "documents"),
+        _SMALL_MINHASH,
+        "doc_id",
+        "text",
+        max_band_bucket=None,
+    )
+    return reps.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+        F.col("is_duplicate"),
+    )
+
+
+QUERIES["dedup_representatives"] = q_dedup_representatives

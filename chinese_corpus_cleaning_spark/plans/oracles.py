@@ -520,7 +520,54 @@ group by r_name"""
     o.update(build_ac())
     o.update(build_spam())
     o.update(build_cleaning())
+    o.update(build_dedup_full())
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_dedup_full() -> dict[str, str]:
+    """End-to-end dedup_representatives oracle: exact groups -> rep edges,
+    MinHash/LSH/similarity over the distinct-text reps (same CTE chain as
+    dedup_minhash_pairs, retargeted at the reps table), union of edge sets,
+    then connected components as a recursive-CTE transitive closure with
+    component = least(id, min(reachable)). Tractable because the fixture's
+    edge set is small; Spark's side runs the adaptive CC strategy."""
+    sh_reps = _SHINGLES5.replace("from documents", "from reps")
+    thr = _SMALL_MINHASH.similarity_threshold
+    sql = f"""
+with recursive
+groups as (select text, min(doc_id) as rep from documents group by text),
+exact_edges as (
+  select g.rep as id_a, d.doc_id as id_b
+  from documents d join groups g on d.text = g.text
+  where d.doc_id <> g.rep),
+reps as (select rep as doc_id, text from groups),
+sh as ({sh_reps}),
+sig as ({_SIG}),
+bandt as ({_BANDS}),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bandt a join bandt b using (band_key)
+  where a.doc_id < b.doc_id),
+agree as (
+  select c.id_a, c.id_b,
+         sum(case when sa.minhash = sb.minhash then 1 else 0 end) as agr
+  from cand c
+  join sig sa on sa.doc_id = c.id_a
+  join sig sb on sb.doc_id = c.id_b and sb.slot = sa.slot
+  group by 1, 2),
+near_edges as (select id_a, id_b from agree where agr / {_NH} >= {thr}),
+edges as (select id_a, id_b from near_edges union select id_a, id_b from exact_edges),
+sym as (select id_a as s, id_b as t from edges union select id_b as s, id_a as t from edges),
+reach as (
+  select s as id, t as r from sym
+  union
+  select reach.id, sym.t as r from reach join sym on reach.r = sym.s),
+comp as (select id, least(id, min(r)) as comp from reach group by id)
+select d.doc_id::bigint as doc_id,
+  coalesce(c.comp, d.doc_id)::bigint as component,
+  (coalesce(c.comp, d.doc_id) <> d.doc_id) as is_duplicate
+from documents d left join comp c on d.doc_id = c.id"""
+    return {"dedup_representatives": sql.strip()}
 
 
 def build_spam() -> dict[str, str]:
