@@ -1,0 +1,84 @@
+"""Short dedup-only 2->8 scaling probe (~6-8 min) for catching quiet host
+windows that the full 3-level harness (~20 min) keeps missing. Measures the
+north-rule-relevant pairing only and records /proc/loadavg around each leg
+so a reading can be accepted or rejected on evidence.
+
+Usage: python BENCH/dedup_scaling_quick.py [n_docs]; appends one JSON line
+to BENCH/dedup_quick_runs.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+cpus, n_docs = int(sys.argv[1]), int(sys.argv[2])
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+import __spark_entry__ as entrymod
+from chinese_corpus_cleaning_spark.operators import dedup
+from chinese_corpus_cleaning_spark.sources import gen
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+entrymod._ensure_pyfiles(spark)
+docs = gen.docs_df(spark, n_docs, partitions=cpus * 4).select(
+    F.col("url").alias("doc_id"), "text").cache()
+docs.count()
+t0 = time.perf_counter()
+dedup.dedup_representatives(docs).agg(
+    F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long"))).collect()
+dt = time.perf_counter() - t0
+spark.stop()
+print(json.dumps({"cpus": cpus, "sec": round(dt, 3)}))
+"""
+
+
+def loadavg() -> list[float]:
+    return [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    before = loadavg()
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), str(n_docs)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["load_before"] = before
+    r["load_after"] = loadavg()
+    return r
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    r2 = run_level(2, n_docs)
+    r8 = run_level(8, n_docs)
+    eff = (r2["sec"] / r8["sec"]) / 4
+    rec = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "n_docs": n_docs,
+        "t2": r2["sec"],
+        "t8": r8["sec"],
+        "eff_2_8": round(eff, 3),
+        "load": {"leg2": [r2["load_before"], r2["load_after"]],
+                 "leg8": [r8["load_before"], r8["load_after"]]},
+    }
+    with open(os.path.join(HERE, "dedup_quick_runs.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

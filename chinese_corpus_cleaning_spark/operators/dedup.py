@@ -315,6 +315,61 @@ def simhash_udf():
     return sh
 
 
+def ngram_jaccard_on_candidates(
+    docs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """PRODUCTION wiring of exact n-gram Jaccard: computed only on MinHash-
+    LSH candidate pairs instead of the all-pairs shingle self-join
+    (ngram_jaccard_pairs, kept as the oracle-checkable exact form documents
+    its own scale limit). Shape: candidate pairs (banded LSH equi-join) ->
+    shingle-set intersection via explode+join restricted to candidates ->
+    exact |A∩B| / |A∪B| filter. Returns (id_a, id_b, jaccard)."""
+    signed = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(signed, id_col, max_band_bucket).localCheckpoint(
+        eager=True
+    )
+    sh = shingle_explode(docs, k, id_col, text_col)
+    # prune shingles to candidate ids (semi-join; AQE broadcasts the id set)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "id", "leftsemi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.alias("a")
+        .join(cand, F.col("a.id") == F.col("id_a"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.id") == F.col("id_b")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_near_dup_pairs(
     simhashes: DataFrame,
     max_hamming: int = 8,

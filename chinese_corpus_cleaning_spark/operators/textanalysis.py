@@ -92,6 +92,43 @@ def quality_stats_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(
+    docs: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary top-k by token frequency (tie-break: token asc) —
+    the vocabulary-construction primitive of a training-data pipeline.
+    explode -> hash agg (map-side partials collapse the heavy hitters) ->
+    orderBy+limit (TakeOrderedAndProject). (token, cnt, rank)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # the Window runs over k rows only (post-limit) — not a global sort
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def doc_length_histogram(
+    docs: DataFrame, bucket_width: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Char-length histogram: (bucket_lo, n_docs, total_chars). The corpus
+    shape diagnostic behind length-based quality cuts; one hash agg."""
+    lo = (F.floor(F.length(text_col) / F.lit(bucket_width)) * bucket_width).cast(
+        "bigint"
+    )
+    return (
+        docs.groupBy(lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+        )
+    )
+
+
 def feature_ac_matches(
     docs: DataFrame,
     patterns: tuple[str, ...],

@@ -874,3 +874,37 @@ def q_dedup_representatives(spark, sf_dir):
 
 
 QUERIES["dedup_representatives"] = q_dedup_representatives
+
+
+def q_ngram_jaccard_candidates(spark, sf_dir):
+    """PRODUCTION n-gram Jaccard: exact Jaccard restricted to MinHash-LSH
+    candidate pairs (all-pairs form stays as the oracle-checkable spec)."""
+    p = dedup.ngram_jaccard_on_candidates(
+        load(spark, sf_dir, "documents"), _SMALL_MINHASH, k=5, threshold=0.5
+    )
+    return p.select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    t = textanalysis.vocab_topk(load(spark, sf_dir, "documents"), k=25)
+    return t.select(
+        "token", F.col("cnt").cast("bigint"), F.col("rank").cast("bigint")
+    )
+
+
+def q_doc_length_histogram(spark, sf_dir):
+    h = textanalysis.doc_length_histogram(load(spark, sf_dir, "documents"), 50)
+    return h.select(
+        F.col("bucket_lo").cast("bigint"),
+        F.col("n_docs").cast("bigint"),
+        F.col("total_chars").cast("bigint"),
+    )
+
+
+QUERIES["ngram_jaccard_candidates"] = q_ngram_jaccard_candidates
+QUERIES["vocab_topk"] = q_vocab_topk
+QUERIES["doc_length_histogram"] = q_doc_length_histogram

@@ -521,6 +521,7 @@ group by r_name"""
     o.update(build_spam())
     o.update(build_cleaning())
     o.update(build_dedup_full())
+    o.update(build_textanalysis_extra())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -568,6 +569,47 @@ select d.doc_id::bigint as doc_id,
   (coalesce(c.comp, d.doc_id) <> d.doc_id) as is_duplicate
 from documents d left join comp c on d.doc_id = c.id"""
     return {"dedup_representatives": sql.strip()}
+
+
+def build_textanalysis_extra() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["vocab_topk"] = """
+with c as (select unnest(string_split(text, ' ')) as token from documents),
+agg as (select token, count(*) as cnt from c group by token),
+r as (select token, cnt,
+        row_number() over (order by cnt desc, token asc) as rank
+      from agg)
+select token, cnt::bigint as cnt, rank::bigint as rank from r where rank <= 25"""
+
+    o["doc_length_histogram"] = """
+select (length(text) // 50 * 50)::bigint as bucket_lo,
+  count(*)::bigint as n_docs,
+  sum(length(text))::bigint as total_chars
+from documents group by 1"""
+
+    thr = _SMALL_MINHASH.similarity_threshold
+    o["ngram_jaccard_candidates"] = f"""
+with sh as ({_SHINGLES5}),
+sig as ({_SIG}),
+bandt as ({_BANDS}),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bandt a join bandt b using (band_key)
+  where a.doc_id < b.doc_id),
+sizes as (select doc_id as id, count(*) as n from sh group by doc_id),
+inter as (
+  select c.id_a, c.id_b, count(*) as n_inter
+  from cand c
+  join sh a on a.doc_id = c.id_a
+  join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+  group by 1, 2)
+select id_a::bigint as id_a, id_b::bigint as id_b,
+       round(n_inter / (na.n + nb.n - n_inter), 9) as jaccard
+from inter
+join sizes na on na.id = id_a
+join sizes nb on nb.id = id_b
+where n_inter / (na.n + nb.n - n_inter) >= {thr}"""
+    return {k: v.strip() for k, v in o.items()}
 
 
 def build_spam() -> dict[str, str]:
