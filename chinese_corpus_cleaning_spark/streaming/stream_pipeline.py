@@ -108,6 +108,42 @@ def run_stream(
     return labels_q, metrics_q
 
 
+def stateful_host_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-host
+    RUNNING totals (n_docs, total_chars) maintained across microbatches —
+    the streaming analogue of textanalysis.host_rollup for a continuous
+    crawl, where per-batch aggregation alone would forget history.
+
+    State = one (n_docs, total_chars) tuple per host; each microbatch that
+    touches a host emits that host's updated cumulative row ("update" output
+    mode). Arrow-batched like every other UDF in this repo. State size is
+    O(#hosts) — bounded for a web crawl (~10^8 hosts -> a few GB across the
+    cluster, partitioned by the groupBy hash)."""
+    import pandas as pd  # local: streaming module is importable without arrow
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "host string, n_docs long, total_chars long"
+    state_schema = "n_docs long, total_chars long"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, chars = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            chars += int(pdf["n_chars"].sum())
+        state.update((n, chars))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_docs": [n], "total_chars": [chars]}
+        )
+
+    hosted = stream.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.length("text").alias("n_chars"),
+    )
+    return hosted.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exact dedup across microbatches: the first arrival of each
     content hash passes, later copies are dropped. State is bounded by the

@@ -133,3 +133,49 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert len(out) == n_unique_texts
     md5s = [r["content_md5"] for r in out]
     assert len(md5s) == len(set(md5s))
+
+
+def test_stateful_host_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-host running totals: after a bounded
+    multi-microbatch run, the LAST emitted row per host must equal the batch
+    groupBy over all input — i.e. state accumulates correctly across
+    microbatches."""
+    in_dir = str(tmp_path / "hin")
+    chk = str(tmp_path / "hchk")
+    pdf = gen.docs_pandas(150)
+    sdf = spark.createDataFrame(pdf)
+    # several files -> maxFilesPerTrigger=8 in stream_from_directory gives
+    # multiple microbatches, so per-host state is exercised across batches
+    sdf.repartition(24).write.parquet(in_dir)
+
+    stream = stream_pipeline.stream_from_directory(spark, in_dir)
+    totals = stream_pipeline.stateful_host_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("ccc_host_totals")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    # last emitted cumulative row per host = the max n_docs row
+    emitted = spark.sql("select * from ccc_host_totals").collect()
+    final: dict = {}
+    for r in emitted:
+        cur = final.get(r["host"])
+        if cur is None or r["n_docs"] > cur[0]:
+            final[r["host"]] = (r["n_docs"], r["total_chars"])
+    batch = {
+        r["host"]: (r["n"], r["c"])
+        for r in sdf.groupBy(
+            F.parse_url("url", F.lit("HOST")).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    }
+    assert final == batch
+    # multiple microbatches actually happened (some host emitted >1 row)
+    assert len(emitted) > len(batch)
