@@ -908,3 +908,56 @@ def q_doc_length_histogram(spark, sf_dir):
 QUERIES["ngram_jaccard_candidates"] = q_ngram_jaccard_candidates
 QUERIES["vocab_topk"] = q_vocab_topk
 QUERIES["doc_length_histogram"] = q_doc_length_histogram
+
+
+def q_host_rollup(spark, sf_dir):
+    """Skew-salted two-phase per-host rollup (textanalysis.host_rollup) over
+    urls synthesized deterministically from doc_id (the documents fixture
+    has no url column; both engines derive the same one). Verifies the
+    salted partial+merge equals a direct groupBy."""
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    r = textanalysis.host_rollup(d)
+    return r.select(
+        "host",
+        F.col("n_docs").cast("bigint"),
+        F.col("total_chars").cast("bigint"),
+        F.round("avg_chars", 9).alias("avg_chars"),
+    )
+
+
+def q_events_running_total(spark, sf_dir):
+    """Window-frame coverage: per-user running value total ordered by
+    (ts, event_id) — deterministic left-assoc accumulation on both engines."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .cast("bigint")
+        .alias("event_seq"),
+    )
+
+
+QUERIES["host_rollup"] = q_host_rollup
+QUERIES["events_running_total"] = q_events_running_total

@@ -587,6 +587,28 @@ select (length(text) // 50 * 50)::bigint as bucket_lo,
   sum(length(text))::bigint as total_chars
 from documents group by 1"""
 
+    o["host_rollup"] = """
+with d as (
+  select 'https://host' || (doc_id % 7)::varchar || '.example.com/p/'
+         || doc_id::varchar as url, text
+  from documents),
+h as (
+  select regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host,
+         length(text) as n_chars
+  from d)
+select host, count(*)::bigint as n_docs, sum(n_chars)::bigint as total_chars,
+  round(sum(n_chars)::double / count(*), 9) as avg_chars
+from h group by host"""
+
+    o["events_running_total"] = """
+select event_id::bigint as event_id, user_id::bigint as user_id,
+  round(sum(value) over (partition by user_id order by ts asc, event_id asc
+                         rows between unbounded preceding and current row), 6)
+    as running_value,
+  (row_number() over (partition by user_id order by ts asc, event_id asc))::bigint
+    as event_seq
+from events"""
+
     thr = _SMALL_MINHASH.similarity_threshold
     o["ngram_jaccard_candidates"] = f"""
 with sh as ({_SHINGLES5}),
