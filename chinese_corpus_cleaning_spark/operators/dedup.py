@@ -184,24 +184,33 @@ def minhash_similarity_pairs(
     # executor storage across repeated invocations in a long-lived driver
     # (blocks are freed when the DataFrame is GC'd, no unpersist bookkeeping).
     signed = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
-    # materialize the candidate pairs so the id set can prune the signature
-    # re-attach: the two joins below would otherwise shuffle the FULL
-    # 128-slot signature table (~1 KB/doc) twice, and DEDUP_BREAKDOWN.md
-    # measured that re-attach as the dominant cost of the whole stage. Only
-    # ids that appear in some candidate pair need their signature moved —
-    # a semi-join against the (tiny) candidate-id set, which AQE converts to
-    # a broadcast join, prunes the rest map-side.
+    # materialize the candidate pairs once: the est_jaccard join consumes
+    # them, and (below) their id set may prune the signature re-attach
     pairs = lsh_candidate_pairs(signed, id_col, max_band_bucket).localCheckpoint(
         eager=True
     )
+    # ADAPTIVE signature-re-attach prune (same runtime-statistics doctrine as
+    # the connected_components cutover): the two joins below shuffle the
+    # 128-slot signature table (~1 KB/doc), measured as the dominant cost of
+    # the stage (DEDUP_BREAKDOWN.md). When few ids appear in candidate pairs
+    # (the web-scale case: post-exact-dedup, capped buckets), a semi-join
+    # against the candidate-id set prunes most of that shuffle. When MOST
+    # ids are candidates (high-collision corpora), the prune is pure
+    # overhead — one extra full shuffle — so it is skipped. Both counts are
+    # cheap scans of already-checkpointed data.
+    sig_src = signed
+    n_sigs = signed.count()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    slim = signed.join(cand_ids, id_col, "leftsemi")
-    sig_a = slim.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
-    sig_b = slim.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
+    if n_sigs > 0:
+        n_cand = cand_ids.count()
+        if n_cand < 0.5 * n_sigs:
+            sig_src = signed.join(cand_ids, id_col, "leftsemi")
+    sig_a = sig_src.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
+    sig_b = sig_src.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
     est = (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
