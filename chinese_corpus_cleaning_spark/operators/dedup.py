@@ -183,32 +183,44 @@ def minhash_similarity_pairs(
     # ONE job instead of two, (b) truncates lineage, and (c) doesn't pin
     # executor storage across repeated invocations in a long-lived driver
     # (blocks are freed when the DataFrame is GC'd, no unpersist bookkeeping).
-    signed = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
+    obs_sig = Observation("minhash_n_sigs")
+    signed = (
+        with_minhash(docs, cfg, id_col, text_col)
+        .observe(obs_sig, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     # materialize the candidate pairs once: the est_jaccard join consumes
     # them, and (below) their id set may prune the signature re-attach
-    pairs = lsh_candidate_pairs(signed, id_col, max_band_bucket).localCheckpoint(
-        eager=True
+    obs_pairs = Observation("lsh_n_pairs")
+    pairs = (
+        lsh_candidate_pairs(signed, id_col, max_band_bucket)
+        .observe(obs_pairs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     # ADAPTIVE signature-re-attach prune (same runtime-statistics doctrine as
     # the connected_components cutover): the two joins below shuffle the
     # 128-slot signature table (~1 KB/doc), measured as the dominant cost of
     # the stage (DEDUP_BREAKDOWN.md). When few ids appear in candidate pairs
     # (the web-scale case: post-exact-dedup, capped buckets), a semi-join
-    # against the candidate-id set prunes most of that shuffle. When MOST
+    # against the candidate-id set prunes most of that shuffle; when most
     # ids are candidates (high-collision corpora), the prune is pure
-    # overhead — one extra full shuffle — so it is skipped. Both counts are
-    # cheap scans of already-checkpointed data.
+    # overhead — one extra full shuffle — so it is skipped. The decision is
+    # FREE: both row counts ride the two checkpoint jobs as observe()
+    # metrics, and distinct candidate ids <= 2 * n_pairs bounds coverage
+    # from above (a conservative sufficient condition — prune only when
+    # certainly sparse).
+    n_sigs = obs_sig.get["n"]
+    n_pairs = obs_pairs.get["n"]
     sig_src = signed
-    n_sigs = signed.count()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    if n_sigs > 0:
-        n_cand = cand_ids.count()
-        if n_cand < 0.5 * n_sigs:
-            sig_src = signed.join(cand_ids, id_col, "leftsemi")
+    if n_sigs > 0 and 2 * n_pairs < 0.5 * n_sigs:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sig_src = signed.join(cand_ids, id_col, "leftsemi")
     sig_a = sig_src.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
     sig_b = sig_src.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
     est = (
