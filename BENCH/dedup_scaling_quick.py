@@ -36,6 +36,8 @@ entrymod._ensure_pyfiles(spark)
 docs = gen.docs_df(spark, n_docs, partitions=cpus * 4).select(
     F.col("url").alias("doc_id"), "text").cache()
 docs.count()
+# warm python workers / Arrow so interpreter spawn isn't in the timed region
+dedup.with_minhash(docs.limit(64)).agg(F.count(F.lit(1))).collect()
 t0 = time.perf_counter()
 dedup.dedup_representatives(docs).agg(
     F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long"))).collect()

@@ -41,10 +41,13 @@ def main(cpus: int, n_docs: int) -> None:
     docs.count()
     trie_bc = broadcast_trie(spark)
 
-    # warm python workers
+    # warm python workers (both UDF families: quality scrub + minhash)
     with_quality(docs.select("url", "text").limit(64), trie_bc).agg(
         F.count(F.lit(1))
     ).collect()
+    dedup.with_minhash(
+        docs.select(F.col("url").alias("doc_id"), "text").limit(64)
+    ).agg(F.count(F.lit(1))).collect()
 
     timings: dict[str, float] = {}
 
