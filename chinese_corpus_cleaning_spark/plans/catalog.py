@@ -961,3 +961,41 @@ def q_events_running_total(spark, sf_dir):
 
 QUERIES["host_rollup"] = q_host_rollup
 QUERIES["events_running_total"] = q_events_running_total
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 vector quantization (similarity.quantize_int8): the
+    storage path for billion-vector corpora. Emitted exploded per-dimension
+    so the value hash checks every quantized component."""
+    qd = _sim.quantize_int8(load(spark, sf_dir, "embeddings"))
+    return qd.select(
+        F.col("vec_id").cast("bigint"),
+        F.round("scale", 9).alias("scale"),
+        F.round("max_err", 9).alias("max_err"),
+        F.posexplode("q").alias("dim_idx", "qv"),
+    ).select(
+        "vec_id", "scale", "max_err",
+        F.col("dim_idx").cast("bigint"), F.col("qv").cast("bigint"),
+    )
+
+
+def q_quality_percentiles(spark, sf_dir):
+    """Adaptive-threshold primitive: exact percentiles of the composite
+    quality score over the corpus (keep the top X% instead of a fixed 0.8).
+    Spark percentile() vs DuckDB quantile_cont — both R-7 interpolation over
+    bit-identical scores."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    scored = with_quality(d, bc, DEFAULT).select("quality_score")
+    return scored.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(quality_score, {p})"), 6
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.10, 0.50, 0.90, 0.99)
+        ]
+    )
+
+
+QUERIES["embedding_quantize_int8"] = q_embedding_quantize
+QUERIES["quality_percentiles"] = q_quality_percentiles

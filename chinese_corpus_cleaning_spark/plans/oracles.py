@@ -587,6 +587,40 @@ select (length(text) // 50 * 50)::bigint as bucket_lo,
   sum(length(text))::bigint as total_chars
 from documents group by 1"""
 
+    o["embedding_quantize_int8"] = """
+with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
+s as (
+  select vec_id, e,
+    (list_max(list_transform(e, x -> abs(x))) / 127.0) as scale
+  from v),
+q as (
+  select vec_id, e, scale,
+    list_transform(e, x -> coalesce(round(x / nullif(scale, 0.0))::int, 0)) as qv
+  from s),
+err as (
+  select vec_id, scale, qv,
+    list_max(list_transform(generate_series(1, len(e)),
+             i -> abs(e[i] - qv[i] * scale))) as max_err
+  from q)
+select vec_id::bigint as vec_id, round(scale, 9) as scale,
+  round(max_err, 9) as max_err,
+  (u.i - 1)::bigint as dim_idx, qv[u.i]::bigint as qv
+from err, unnest(generate_series(1, len(qv))) as u(i)"""
+
+    wr, wf = DEFAULT.weight_rule, DEFAULT.weight_feature
+    o["quality_percentiles"] = f"""
+with s as ({_rule_stats_cte()}),
+feat as ({_feature_cte()}),
+scored as (
+  select (({_rule_score_sql()}) * {wr} + ({_feature_score()}) * {wf})
+         / {wr + wf} as quality_score
+  from s join feat on s.doc_id = feat.doc_id)
+select round(quantile_cont(quality_score, 0.10), 6) as p10,
+  round(quantile_cont(quality_score, 0.50), 6) as p50,
+  round(quantile_cont(quality_score, 0.90), 6) as p90,
+  round(quantile_cont(quality_score, 0.99), 6) as p99
+from scored"""
+
     o["host_rollup"] = """
 with d as (
   select 'https://host' || (doc_id % 7)::varchar || '.example.com/p/'
