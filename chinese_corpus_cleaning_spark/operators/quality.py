@@ -63,9 +63,18 @@ QUALITY_SCHEMA = StructType(
 )
 
 
+def _err_row(msg: str) -> dict:
+    """Full-width error row: every field explicitly None (a partial dict
+    would leave pandas NaN in the struct column, which Arrow cannot convert
+    to a null struct — found by the null-robustness tests)."""
+    d = {f.name: None for f in QUALITY_SCHEMA.fields}
+    d["error"] = msg
+    return d
+
+
 def _eval_one(text, trie, cfg: PipelineConfig) -> dict:
     if text is None:
-        return {"error": "null_text"}
+        return _err_row("null_text")
     try:
         st = compute_stats(text)
         flags = check_flags(st, cfg.rule)
@@ -90,9 +99,9 @@ def _eval_one(text, trie, cfg: PipelineConfig) -> dict:
     except ZeroDivisionError:
         # reference parity: empty text errors out of get_rule_score
         # (rule_filter.py:383) and is counted as an error doc (main.py:304-307)
-        return {"error": "empty_text"}
+        return _err_row("empty_text")
     except Exception as e:  # deterministic error isolation per doc
-        return {"error": f"{type(e).__name__}: {e}"}
+        return _err_row(f"{type(e).__name__}: {e}")
 
 
 def make_quality_udf(trie_broadcast, cfg: PipelineConfig = DEFAULT):

@@ -1,0 +1,76 @@
+"""Null/empty-input robustness: a 100 TB crawl WILL contain null texts,
+empty strings, and empty tables — no operator may crash on them, and the
+error-isolation contract (per-doc error rows, not job failure) must hold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chinese_corpus_cleaning_spark.config import DedupConfig
+from chinese_corpus_cleaning_spark.operators import dedup, perplexity, textanalysis
+
+
+@pytest.fixture(scope="module")
+def nullish(spark):
+    return spark.createDataFrame(
+        [(1, None), (2, ""), (3, "normal text with words"), (4, "a")],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_handles_null_and_empty(spark, nullish):
+    cfg = DedupConfig(num_hashes=16, num_bands=4)
+    rows = {r["doc_id"]: r for r in dedup.with_minhash(nullish, cfg).collect()}
+    assert len(rows) == 4
+    # null text -> null shingle array -> sentinel signature (perm_min branch)
+    from chinese_corpus_cleaning_spark.functions.hashing import MINHASH_P
+
+    assert list(rows[1]["minhash"]) == [MINHASH_P] * 16
+    # empty text hashes one '' shingle (engine-unified semantics)
+    assert list(rows[2]["minhash"]) != [MINHASH_P] * 16
+
+
+def test_dedup_representatives_with_nulls(spark, nullish):
+    out = {r["id"]: r for r in dedup.dedup_representatives(nullish).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(out[i]["component"] is not None for i in out)
+
+
+def test_quality_pipeline_error_isolation(spark, nullish):
+    """Empty text raises ZeroDivisionError in rule scoring (reference quirk);
+    the pipeline must map it to an error ROW, not fail the job. Null text
+    likewise."""
+    from chinese_corpus_cleaning_spark.functions.dfa import build_trie
+    from chinese_corpus_cleaning_spark.operators.quality import with_quality
+
+    bc = spark.sparkContext.broadcast(build_trie(["spark"]))
+    rows = {
+        r["doc_id"]: r
+        for r in with_quality(nullish.select("doc_id", "text"), bc).collect()
+    }
+    assert len(rows) == 4
+    assert rows[2]["error"] is not None and not rows[2]["keep"]
+    assert rows[1]["error"] is not None and not rows[1]["keep"]
+    assert rows[3]["error"] is None
+
+
+def test_text_analysis_ops_survive_nulls(spark, nullish):
+    assert textanalysis.token_stats(nullish).count() == 4
+    assert textanalysis.langid_relational(nullish).count() == 4
+    assert textanalysis.feature_ac_matches(nullish, ("spark", "a")).count() == 4
+    assert textanalysis.vocab_topk(nullish, k=5).count() <= 5
+    assert textanalysis.doc_length_histogram(nullish).count() >= 1
+
+
+def test_perplexity_survives_nulls(spark, nullish):
+    clean = nullish.where(F.col("text").isNotNull())
+    model = perplexity.ngram_counts(clean, n=3)
+    out = perplexity.perplexity_relational(clean, model, n=3).collect()
+    assert len(out) == 3
+    assert all(r["ppl"] is not None for r in out)
+
+
+def test_empty_table_through_dedup(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.dedup_representatives(empty).count() == 0

@@ -80,3 +80,39 @@ def test_ivf_assign_has_no_global_window_sort(spark):
     for ln in plan.splitlines():
         if "Window" in ln and "partitionBy" in ln.lower():
             assert "vec_id" in ln, ln
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    from chinese_corpus_cleaning_spark.operators.textanalysis import vocab_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _explained(vocab_topk(docs, k=25))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_representatives_plan_is_cartesian_free(spark):
+    from chinese_corpus_cleaning_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _explained(
+        dedup.dedup_representatives(docs, id_col="doc_id", text_col="text")
+    )
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_pipeline_single_arrow_eval(spark):
+    """The per-doc quality stage must cross into Python exactly ONCE per
+    batch (one ArrowEvalPython node), not once per column/score."""
+    from chinese_corpus_cleaning_spark.functions.dfa import build_trie
+    from chinese_corpus_cleaning_spark.operators.quality import with_quality
+    from chinese_corpus_cleaning_spark.plans.catalog import EN_LEXICON
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bc = spark.sparkContext.broadcast(build_trie(EN_LEXICON))
+    import re
+
+    plan = _explained(with_quality(docs.select("doc_id", "text"), bc))
+    # formatted plans print each node twice (tree + detail); count the
+    # numbered detail headers
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n_arrow == 1, plan
