@@ -92,6 +92,50 @@ def quality_stats_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def decontaminate_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY token
+    n-gram with a benchmark/eval set — the standard guard against test-set
+    leakage into training data. Returns (doc_id, n_overlap, contaminated)
+    for EVERY corpus doc.
+
+    Scale shape: the benchmark side is small (eval sets are 10^4-10^6 docs)
+    — its distinct n-gram hash set broadcasts; the corpus side is a map-side
+    explode + broadcast semi-join + per-doc count. No corpus shuffle beyond
+    the final per-doc aggregation on id."""
+    gram = (
+        f"transform(sequence({n}, size(split({text_col}, ' '))), "
+        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
+        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint))"
+    )
+    bench_grams = (
+        benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"array_distinct({gram})")).alias("g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def vocab_topk(
     docs: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

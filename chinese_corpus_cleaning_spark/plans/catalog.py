@@ -999,3 +999,21 @@ def q_quality_percentiles(spark, sf_dir):
 
 QUERIES["embedding_quantize_int8"] = q_embedding_quantize
 QUERIES["quality_percentiles"] = q_quality_percentiles
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    "eval set"; every corpus doc sharing any token 8-gram with it is
+    flagged (broadcast n-gram-hash semi-join — the test-set-leakage guard
+    of a training-data pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    out = textanalysis.decontaminate_overlap(d, bench, n=8)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_overlap").cast("bigint"),
+        F.col("contaminated"),
+    )
+
+
+QUERIES["decontaminate_overlap"] = q_decontaminate

@@ -587,6 +587,25 @@ select (length(text) // 50 * 50)::bigint as bucket_lo,
   sum(length(text))::bigint as total_chars
 from documents group by 1"""
 
+    o["decontaminate_overlap"] = """
+with toks as (select doc_id, string_split(text, ' ') as t from documents),
+grams as (
+  select doc_id,
+    unnest(list_distinct(list_transform(generate_series(8, len(t)),
+      i -> ('0x' || substr(md5(array_to_string(t[i-7 : i], ' ')), 1, 15))::bigint)))
+      as g
+  from toks),
+bench as (
+  select distinct g from grams where doc_id % 97 = 0),
+hits as (
+  select doc_id, count(*) as n_overlap
+  from grams join bench using (g)
+  group by doc_id)
+select d.doc_id::bigint as doc_id,
+  coalesce(h.n_overlap, 0)::bigint as n_overlap,
+  (coalesce(h.n_overlap, 0) > 0) as contaminated
+from documents d left join hits h on d.doc_id = h.doc_id"""
+
     o["embedding_quantize_int8"] = """
 with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
 s as (

@@ -91,3 +91,31 @@ def test_full_lexicon_f1_and_scrub_parity(spark, reference_filter):
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     assert tp + fn > 10 and tn + fp > 10  # both classes represented
     assert f1 == 1.0, (tp, fp, fn, tn)
+
+
+def test_full_lexicon_case_fold_edge_parity(spark, reference_filter):
+    """Length-changing-under-lower() chars ('İ' -> 'i̇') interleaved with
+    REAL lexicon words across multiple lines — the shape that exposed the
+    per-line feature-count skew (VERDICT r1 item 5) — must keep exact score
+    and byte-exact scrub parity under the full 43k-word lexicon."""
+    rule, det = reference_filter
+    words = sorted(w for w in det.feature_words if len(w) >= 2)[:6]
+    texts = []
+    for i, w in enumerate(words):
+        texts.append(f"İ{'x' * i}{w}\nnormal line {i} with İstanbul\n{w}tail")
+        texts.append(f"ẞẞ {w} İİİ\n{'长文本内容' * 3}{w}\nİ{w}")
+    docs = spark.createDataFrame(
+        [(f"doc://edge/{i}", t) for i, t in enumerate(texts)], ["url", "text"]
+    )
+    trie_bc = broadcast_trie(spark, load_words(ALL_SENSITIVE_WORDS))
+    ours = {
+        r["url"]: r
+        for r in quality_filter_plan(docs, trie_bc, DEFAULT, partitions=2).collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _reference_label(rule, det, t)
+        got = ours[f"doc://edge/{i}"]
+        assert not exp["error"]
+        assert got["quality_score"] == exp["quality_score"], t
+        assert got["keep"] == exp["keep"], t
+        assert got["scrubbed_text"] == exp["scrubbed"], t
