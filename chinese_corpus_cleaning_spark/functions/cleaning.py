@@ -325,12 +325,23 @@ def preprocess_for_ppl(text: str) -> str:
 def extract_meaningful_segments(text: str, max_length: int = 500) -> str:
     """Head/middle/tail sentence sampling for long docs
     (lmppl_perplexity.py:127-154): <=3 sentences -> text[:max]; otherwise two
-    sentences from each third joined by '。', capped at max_length."""
+    sentences from each third joined by '。', capped at max_length.
+
+    Boundary arithmetic matches the reference exactly: the split points are
+    n//3 and (2*n)//3 — NOT 2*(n//3); for n % 3 == 2 they differ by one and
+    shift which sentences the middle/end thirds see (caught by the
+    differential fuzz vs the executed reference method)."""
     sentences = [s for s in _SENT_SPLIT.split(text) if s.strip()]
-    if len(sentences) <= 3:
+    n = len(sentences)
+    if n <= 3:
         return text[:max_length]
-    third = len(sentences) // 3
-    selected = sentences[:third][:2] + sentences[third : 2 * third][:2] + sentences[2 * third :][:2]
+    third = n // 3
+    two_thirds = 2 * n // 3
+    selected = (
+        sentences[:third][:2]
+        + sentences[third:two_thirds][:2]
+        + sentences[two_thirds:][:2]
+    )
     return "。".join(selected)[:max_length]
 
 

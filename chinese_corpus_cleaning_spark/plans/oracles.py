@@ -974,13 +974,15 @@ s as (
   select doc_id, t,
     list_filter(regexp_split_to_array(t, '[。！？.!?]'), x -> trim(x) <> '') as sents
   from t2),
-sel as (select doc_id, t, sents, len(sents) as n, len(sents) // 3 as third from s)
+sel as (select doc_id, t, sents, len(sents) as n,
+               len(sents) // 3 as third, (2 * len(sents)) // 3 as two_thirds
+        from s)
 select doc_id,
   case when n <= 3 then t[1:500]
   else (array_to_string(
     sents[1 : least(third, 2)]
-      || sents[third + 1 : third + least(third, 2)]
-      || sents[2 * third + 1 : 2 * third + least(n - 2 * third, 2)],
+      || sents[third + 1 : third + least(two_thirds - third, 2)]
+      || sents[two_thirds + 1 : two_thirds + least(n - two_thirds, 2)],
     '。'))[1:500]
   end as sampled_text
 from sel"""

@@ -124,3 +124,51 @@ def test_spark_columns_match_python(spark):
         assert r["spam"] == spam
         assert r["adj_ppl"] == adjust_perplexity(r["ppl"], spam, 200.0)
         assert r["ppl_pass"] == check_perplexity(r["ppl"], spam, 200.0)
+
+
+@pytest.fixture(scope="module")
+def ref_p7():
+    """Extract _preprocess_text and _extract_meaningful_segments from the
+    parsed reference source (module imports torch) and execute standalone."""
+    tree = ast.parse(open(REF, encoding="utf-8").read())
+    ns: dict = {"re": re}
+    found = 0
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "_preprocess_text",
+            "_extract_meaningful_segments",
+        ):
+            exec(compile(ast.Module(body=[node], type_ignores=[]), REF, "exec"), ns)
+            found += 1
+    assert found == 2
+    return (
+        lambda t: ns["_preprocess_text"](None, t),
+        lambda t, m=500: ns["_extract_meaningful_segments"](None, t, m),
+    )
+
+
+_P7_ATOMS = st.sampled_from(
+    ["word", "句子", "。", ".", "!", "?", "！", "？", "  ", "\t", "\n",
+     "http://ex.com/a?b=1", "www.site.org/x", "!!!", "????", "......", "...",
+     "😀", "🚗", "✂", "a", " "]
+)
+p7_texts = st.lists(_P7_ATOMS, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(text=p7_texts)
+def test_ppl_preprocess_matches_reference(ref_p7, text):
+    from chinese_corpus_cleaning_spark.functions.cleaning import preprocess_for_ppl
+
+    assert preprocess_for_ppl(text) == ref_p7[0](text)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(text=p7_texts)
+def test_segment_sampling_matches_reference(ref_p7, text):
+    from chinese_corpus_cleaning_spark.functions.cleaning import (
+        extract_meaningful_segments,
+    )
+
+    assert extract_meaningful_segments(text, 500) == ref_p7[1](text, 500)
+    assert extract_meaningful_segments(text, 37) == ref_p7[1](text, 37)
