@@ -1,0 +1,277 @@
+"""Drop-in API facade: the reference's ``TextQualityFilter`` surface
+(/root/reference/text_quality_filter/main.py:28-415) re-implemented so a
+user of the reference can switch imports and keep their calling code —
+with every batch entry point executing on Spark instead of a tqdm loop.
+
+Parity contract (differential-tested in tests/test_api_facade.py):
+  * same constructor config keys and defaults (GENERAL_CONFIG,
+    config/config.py:47-63): enable_rule_filter / enable_feature_words /
+    enable_perplexity / enable_clustering / quality_threshold /
+    component_weights / output_dir;
+  * ``filter_text`` returns the same (is_high_quality, results) shape with
+    identical scores for the default components (rule + feature over the
+    vendored 43k-word lexicon); empty text raises ZeroDivisionError exactly
+    like the reference (main.py:150 -> rule_filter.py:383);
+  * ``filter_sensitive_content`` returns the identical scrubbed text
+    (main.py:317-361 semantics: empty/None pass through, errors return the
+    input unchanged);
+  * ``batch_process`` / ``batch_filter_sensitive`` keep the reference's
+    file-level contract (kept texts copied to output_dir, per-file JSON
+    results under output_dir/results, stats.json + the same stats dict) but
+    score documents distributed on Spark. For petabyte corpora use
+    plans/pipeline.py (parquet in/out); this facade is the migration path
+    for the reference's directory-of-.txt workflows.
+
+Perplexity/clustering components: the reference disables both by default
+(GENERAL_CONFIG) and degrades gracefully when the model deps are absent;
+this facade accepts the flags and, when enabled, uses the n-gram scorer /
+embedding path only if the caller wires them (see operators/perplexity.py,
+operators/similarity.py) — matching the reference's "component missing ->
+skipped" behaviour (main.py:73-90: perplexity_calculator = None).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from .config import DEFAULT
+from .functions.dfa import build_trie, scrub
+from .functions.feature import evaluate_features
+from .functions.textstats import check_reasons, evaluate_rules
+from .sources.wordlists import ALL_SENSITIVE_WORDS, load_words
+
+GENERAL_DEFAULTS = {
+    "enable_rule_filter": True,
+    "enable_feature_words": True,
+    "enable_perplexity": False,
+    "enable_clustering": False,
+    "output_dir": None,
+    "quality_threshold": 0.8,
+    "component_weights": {
+        "rule_score": 0.3,
+        "feature_score": 0.5,
+        "perplexity_score": 0.1,
+        "clustering_score": 0.1,
+    },
+}
+
+
+class TextQualityFilter:
+    """See module docstring. ``spark`` is optional: single-document methods
+    run driver-side; batch methods create/get a session lazily."""
+
+    def __init__(self, config: dict | None = None, spark=None):
+        self.config = dict(GENERAL_DEFAULTS)
+        if config:
+            self.config.update(config)
+        self._spark = spark
+        self._trie = build_trie(load_words(ALL_SENSITIVE_WORDS))
+
+    # ------------------------------------------------------------- single-doc
+
+    def filter_text(self, text: str) -> tuple[bool, dict]:
+        """main.py:135-217 with the default enabled components. Empty text
+        raises ZeroDivisionError from rule scoring — reference quirk kept."""
+        results: dict = {}
+        scores: dict = {}
+        if self.config["enable_rule_filter"]:
+            _passed, flags, rscore, stats = evaluate_rules(text, DEFAULT.rule)
+            reasons = check_reasons(stats, flags, DEFAULT.rule)
+            results["rule_filter"] = {
+                "passed": all(flags.values()),
+                "details": {
+                    k: {"pass": flags[k], "reason": reasons[k]} for k in flags
+                },
+            }
+            scores["rule_score"] = rscore
+        if self.config["enable_feature_words"]:
+            feat = evaluate_features(text, self._trie, DEFAULT.feature)
+            results["feature_words"] = {
+                "passed": feat.passed,
+                "details": {
+                    "feature_check": {
+                        "pass": feat.passed,
+                        "details": {
+                            "feature_count": feat.feature_count,
+                            "feature_words": feat.feature_words,
+                            "avg_per_line": feat.avg_per_line,
+                        },
+                    }
+                },
+            }
+            scores["feature_score"] = feat.score
+        quality_score = self._calculate_quality_score(scores)
+        is_high_quality = quality_score >= self.config["quality_threshold"]
+        return is_high_quality, {
+            "quality_score": quality_score,
+            "is_high_quality": is_high_quality,
+            "component_results": results,
+            "component_scores": scores,
+        }
+
+    def _calculate_quality_score(self, scores: dict) -> float:
+        """main.py:219-251: weighted mean over the PRESENT components."""
+        if not scores:
+            return 0.0
+        weights = self.config.get(
+            "component_weights", GENERAL_DEFAULTS["component_weights"]
+        )
+        total_weight = 0.0
+        weighted_sum = 0.0
+        for key, weight in weights.items():
+            if key in scores:
+                weighted_sum += scores[key] * weight
+                total_weight += weight
+        if total_weight == 0:
+            return 0.0
+        return weighted_sum / total_weight
+
+    def filter_file(self, filepath: str) -> tuple[bool, dict]:
+        """main.py:114-133 — QUIRK KEPT: any per-file exception (including
+        the empty-text ZeroDivisionError) is swallowed into
+        (False, {"error": ...}), so batch_process counts such files as
+        low_quality, NOT as errors (its error counter only sees failures of
+        the outer loop)."""
+        try:
+            with open(filepath, encoding="utf-8", errors="ignore") as f:
+                return self.filter_text(f.read())
+        except Exception as e:
+            return False, {"error": str(e)}
+
+    def filter_sensitive_content(self, text: str) -> str:
+        """main.py:317-361: DFA scrub; empty/None pass through unchanged;
+        any internal error returns the input."""
+        if not text:
+            return text
+        try:
+            return scrub(text, self._trie)
+        except Exception:
+            return text
+
+    # ------------------------------------------------------------ Spark batch
+
+    def _session(self):
+        if self._spark is None:
+            from pyspark.sql import SparkSession
+
+            self._spark = (
+                SparkSession.builder.master("local[*]")
+                .appName("ccc-api")
+                .config("spark.sql.shuffle.partitions", "32")
+                .getOrCreate()
+            )
+        return self._spark
+
+    def _read_dir(self, input_dir: str, file_pattern: str):
+        from pyspark.sql import functions as F
+
+        files = sorted(glob.glob(os.path.join(input_dir, file_pattern)))
+        spark = self._session()
+        if not files:
+            return spark.createDataFrame([], "path string, text string"), []
+        df = (
+            spark.read.format("text")
+            .option("wholetext", True)
+            .load(files)
+            .select(
+                F.input_file_name().alias("path"), F.col("value").alias("text")
+            )
+        )
+        return df, files
+
+    def batch_process(
+        self, input_dir: str, output_dir: str | None = None, file_pattern: str = "*.txt"
+    ) -> dict:
+        """main.py:253-315's contract, Spark-distributed: every document is
+        scored in one Arrow-vectorized pass (operators/quality.py); kept
+        texts + per-file result JSONs + stats.json land in output_dir."""
+        from pyspark.sql import functions as F
+
+        from .operators.quality import with_quality
+        from .sources.wordlists import broadcast_trie
+
+        output_dir = output_dir or self.config["output_dir"] or "output"
+        os.makedirs(output_dir, exist_ok=True)
+        results_dir = os.path.join(output_dir, "results")
+        os.makedirs(results_dir, exist_ok=True)
+
+        df, files = self._read_dir(input_dir, file_pattern)
+        stats = {"total": len(files), "high_quality": 0, "low_quality": 0, "error": 0}
+        if files:
+            spark = self._session()
+            trie_bc = broadcast_trie(spark)
+            labeled = with_quality(
+                df.select(F.col("path").alias("url"), "text"),
+                trie_bc,
+                DEFAULT,
+            ).select(
+                "url", "text", "keep", "quality_score", "rule_score",
+                "feature_score", "error",
+            )
+            seen = 0
+            for r in labeled.collect():
+                seen += 1
+                name = os.path.basename(r["url"])
+                if r["error"] is not None:
+                    # reference parity (main.py:114-133): per-doc errors are
+                    # low-quality in the stats, not "error"
+                    stats["low_quality"] += 1
+                    with open(
+                        os.path.join(results_dir, f"{name}.json"),
+                        "w",
+                        encoding="utf-8",
+                    ) as f:
+                        json.dump({"error": r["error"]}, f, ensure_ascii=False)
+                    continue
+                if r["keep"]:
+                    stats["high_quality"] += 1
+                    with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
+                        f.write(r["text"])
+                else:
+                    stats["low_quality"] += 1
+                with open(
+                    os.path.join(results_dir, f"{name}.json"), "w", encoding="utf-8"
+                ) as f:
+                    json.dump(
+                        {
+                            "quality_score": r["quality_score"],
+                            "is_high_quality": bool(r["keep"]),
+                            "component_scores": {
+                                "rule_score": r["rule_score"],
+                                "feature_score": r["feature_score"],
+                            },
+                        },
+                        f,
+                        ensure_ascii=False,
+                        indent=2,
+                    )
+            # files Spark's wholetext reader drops (0-byte) behave like the
+            # reference's empty-text path: error swallowed -> low_quality
+            stats["low_quality"] += len(files) - seen
+        with open(os.path.join(output_dir, "stats.json"), "w", encoding="utf-8") as f:
+            json.dump(stats, f, ensure_ascii=False, indent=2)
+        return stats
+
+    def batch_filter_sensitive(
+        self, input_dir: str, output_dir: str | None = None, file_pattern: str = "*.txt"
+    ) -> dict:
+        """main.py:363-415's contract, Spark-distributed scrub."""
+        from .operators.quality import scrub_udf
+        from .sources.wordlists import broadcast_trie
+
+        output_dir = output_dir or self.config["output_dir"] or "output"
+        os.makedirs(output_dir, exist_ok=True)
+        df, files = self._read_dir(input_dir, file_pattern)
+        stats = {"total": len(files), "processed": 0, "error": 0}
+        if files:
+            spark = self._session()
+            trie_bc = broadcast_trie(spark)
+            scrubbed = df.withColumn("scrubbed", scrub_udf(trie_bc)("text"))
+            for r in scrubbed.collect():
+                name = os.path.basename(r["path"])
+                with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
+                    f.write(r["scrubbed"] if r["scrubbed"] is not None else "")
+                stats["processed"] += 1
+        return stats
