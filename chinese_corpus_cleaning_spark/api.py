@@ -275,3 +275,81 @@ class TextQualityFilter:
                     f.write(r["scrubbed"] if r["scrubbed"] is not None else "")
                 stats["processed"] += 1
         return stats
+
+
+def train_models(args, spark=None) -> dict:
+    """CLI 'train' (main.py:421-446), Spark-distributed: the n-gram LM is
+    trained with the relational explode+agg trainer and written as a parquet
+    model table (context, word, cnt) — the shape perplexity_relational
+    consumes. The reference's clustering build needs an embedding model
+    (absent here, as in the reference when torch is missing); it degrades to
+    a skip message exactly like the reference's try/except arm."""
+    from pyspark.sql import functions as F
+
+    from .operators.perplexity import ngram_counts
+
+    out: dict = {}
+    tqf = TextQualityFilter(spark=spark)
+    if not getattr(args, "skip_ngram", False):
+        df, files = tqf._read_dir(args.train_dir, args.file_pattern)
+        model_path = os.path.join(args.train_dir, "_models", "ngram_lm")
+        if files:
+            model = ngram_counts(df, n=3, min_count=getattr(args, "min_count", 1))
+            model.write.mode("overwrite").parquet(model_path)
+            out["ngram_model"] = model_path
+    if not getattr(args, "skip_clustering", False):
+        # reference parity: clustering build requires the embedding model;
+        # unavailable -> report and continue (main.py:428-442 except arm)
+        out["clustering"] = "skipped: embedding model not available"
+    return out
+
+
+def main(argv=None) -> None:
+    """CLI parity with the reference (main.py:448-492): the same three
+    subcommands and flags, batch work on Spark.
+
+        python -m chinese_corpus_cleaning_spark.api filter --input_dir d ...
+        python -m chinese_corpus_cleaning_spark.api train --train_dir d ...
+        python -m chinese_corpus_cleaning_spark.api sensitive --input_dir d ...
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="corpus quality filter")
+    sub = parser.add_subparsers(dest="command")
+
+    f = sub.add_parser("filter", help="batch quality filter")
+    f.add_argument("--input_dir", type=str, default="chinese_docs")
+    f.add_argument("--output_dir", type=str, default=None)
+    f.add_argument("--file_pattern", type=str, default="*.txt")
+
+    t = sub.add_parser("train", help="train models")
+    t.add_argument("--train_dir", type=str, required=True)
+    t.add_argument("--file_pattern", type=str, default="*.txt")
+    t.add_argument("--skip_ngram", action="store_true")
+    t.add_argument("--skip_clustering", action="store_true")
+    t.add_argument("--min_count", type=int, default=1)
+
+    s = sub.add_parser("sensitive", help="batch sensitive-content scrub")
+    s.add_argument("--input_dir", type=str, default="chinese_docs")
+    s.add_argument("--output_dir", type=str, default="filtered_sensitive")
+    s.add_argument("--file_pattern", type=str, default="*.txt")
+
+    args = parser.parse_args(argv)
+    if args.command == "filter":
+        stats = TextQualityFilter().batch_process(
+            args.input_dir, args.output_dir, args.file_pattern
+        )
+        print(json.dumps(stats, ensure_ascii=False))
+    elif args.command == "train":
+        print(json.dumps(train_models(args), ensure_ascii=False))
+    elif args.command == "sensitive":
+        stats = TextQualityFilter().batch_filter_sensitive(
+            args.input_dir, args.output_dir, args.file_pattern
+        )
+        print(json.dumps(stats, ensure_ascii=False))
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -152,3 +152,33 @@ def test_batch_filter_sensitive_matches_reference(spark, ref_tqf, ours, tmp_path
         assert (our_out / name).read_text(encoding="utf-8") == (
             ref_out / name
         ).read_text(encoding="utf-8"), name
+
+
+def test_cli_train_and_model_consumable(spark, tmp_path):
+    """CLI 'train' writes a parquet n-gram model the relational scorer can
+    consume directly."""
+    import argparse
+
+    from chinese_corpus_cleaning_spark.api import TextQualityFilter, train_models
+    from chinese_corpus_cleaning_spark.operators.perplexity import (
+        perplexity_relational,
+    )
+
+    d = tmp_path / "train"
+    d.mkdir()
+    for i in range(4):
+        (d / f"t{i}.txt").write_text(
+            "the quick brown fox jumps over the lazy dog " * (i + 1),
+            encoding="utf-8",
+        )
+    args = argparse.Namespace(
+        train_dir=str(d), file_pattern="*.txt",
+        skip_ngram=False, skip_clustering=False, min_count=1,
+    )
+    out = train_models(args, spark=spark)
+    assert "ngram_model" in out and "skipped" in out["clustering"]
+    model = spark.read.parquet(out["ngram_model"])
+    assert set(model.columns) == {"context", "word", "cnt"}
+    docs = spark.createDataFrame([(1, "the quick brown fox")], ["doc_id", "text"])
+    scored = perplexity_relational(docs, model, n=3).collect()
+    assert len(scored) == 1 and scored[0]["ppl"] > 0
