@@ -36,7 +36,7 @@ import glob
 import json
 import os
 
-from .config import DEFAULT
+from .config import DEFAULT, PipelineConfig
 from .functions.dfa import build_trie, scrub
 from .functions.feature import evaluate_features
 from .functions.textstats import check_reasons, evaluate_rules
@@ -128,6 +128,26 @@ class TextQualityFilter:
             return 0.0
         return weighted_sum / total_weight
 
+    def _pipeline_config(self) -> PipelineConfig:
+        """Project this instance's reference-shaped config dict onto the
+        Spark pipeline's PipelineConfig so batch_process scores with the SAME
+        threshold / weights / enabled components as filter_text (the
+        reference's batch path goes through filter_text and honors
+        self.config — main.py:280-285)."""
+        w = dict(GENERAL_DEFAULTS["component_weights"])
+        w.update(self.config.get("component_weights") or {})
+        return PipelineConfig(
+            quality_threshold=self.config["quality_threshold"],
+            weight_rule=w["rule_score"],
+            weight_feature=w["feature_score"],
+            weight_perplexity=w["perplexity_score"],
+            weight_clustering=w["clustering_score"],
+            enable_rule=self.config["enable_rule_filter"],
+            enable_feature=self.config["enable_feature_words"],
+            enable_perplexity=self.config["enable_perplexity"],
+            enable_clustering=self.config["enable_clustering"],
+        )
+
     def filter_file(self, filepath: str) -> tuple[bool, dict]:
         """main.py:114-133 — QUIRK KEPT: any per-file exception (including
         the empty-text ZeroDivisionError) is swallowed into
@@ -166,17 +186,29 @@ class TextQualityFilter:
 
     def _read_dir(self, input_dir: str, file_pattern: str):
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
 
         files = sorted(glob.glob(os.path.join(input_dir, file_pattern)))
         spark = self._session()
         if not files:
             return spark.createDataFrame([], "path string, text string"), []
+
+        # input_file_name() returns a percent-encoded file URI; decode it so
+        # os.path.basename reproduces the reference's basename(filepath)
+        # contract for non-ASCII (e.g. Chinese) filenames and spaces.
+        @F.udf(StringType())
+        def _decode_path(p):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(p).path) if p else p
+
         df = (
             spark.read.format("text")
             .option("wholetext", True)
             .load(files)
             .select(
-                F.input_file_name().alias("path"), F.col("value").alias("text")
+                _decode_path(F.input_file_name()).alias("path"),
+                F.col("value").alias("text"),
             )
         )
         return df, files
@@ -205,13 +237,15 @@ class TextQualityFilter:
             labeled = with_quality(
                 df.select(F.col("path").alias("url"), "text"),
                 trie_bc,
-                DEFAULT,
+                self._pipeline_config(),
             ).select(
                 "url", "text", "keep", "quality_score", "rule_score",
                 "feature_score", "error",
             )
             seen = 0
-            for r in labeled.collect():
+            # toLocalIterator: results stream back one Arrow batch at a
+            # time — driver memory is O(batch), not O(corpus)
+            for r in labeled.toLocalIterator():
                 seen += 1
                 name = os.path.basename(r["url"])
                 if r["error"] is not None:
@@ -238,9 +272,12 @@ class TextQualityFilter:
                         {
                             "quality_score": r["quality_score"],
                             "is_high_quality": bool(r["keep"]),
+                            # only ENABLED components appear, like the
+                            # reference's component_scores dict
                             "component_scores": {
-                                "rule_score": r["rule_score"],
-                                "feature_score": r["feature_score"],
+                                k: r[k]
+                                for k in ("rule_score", "feature_score")
+                                if r[k] is not None
                             },
                         },
                         f,
@@ -269,7 +306,8 @@ class TextQualityFilter:
             spark = self._session()
             trie_bc = broadcast_trie(spark)
             scrubbed = df.withColumn("scrubbed", scrub_udf(trie_bc)("text"))
-            for r in scrubbed.collect():
+            # stream results back batch-by-batch (driver memory O(batch))
+            for r in scrubbed.toLocalIterator():
                 name = os.path.basename(r["path"])
                 with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
                     f.write(r["scrubbed"] if r["scrubbed"] is not None else "")

@@ -43,6 +43,24 @@ SPAM_PATTERNS: tuple[str, ...] = (
 
 _COMPILED = [re.compile(p) for p in SPAM_PATTERNS]
 
+# Portable (Java regex + RE2) rewrites of the two shorthand classes so the
+# relational path matches Python `re` semantics on CJK text:
+#   Python \d == Unicode category Nd (includes full-width １２３, U+FF10-19)
+#     -> \p{Nd}, which Java regex and RE2 both treat as the Unicode category;
+#   Python \s (str) == the exact codepoint set below (includes U+3000
+#     ideographic space, NBSP, the U+2000 block) — Java/RE2 \s is ASCII-only
+#     -> explicit class in \x{...} syntax, valid in both engines.
+# The set is pinned by tests/test_spam_unicode.py against an enumeration of
+# `re.match(r'\s', chr(cp))` over the whole codespace.
+PY_WS_CLASS = (
+    r"[\x{09}-\x{0d}\x{1c}-\x{20}\x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+
+SPAM_PATTERNS_PORTABLE: tuple[str, ...] = tuple(
+    p.replace(r"\d", r"\p{Nd}").replace(r"\s", PY_WS_CLASS) for p in SPAM_PATTERNS
+)
+
 # lmppl_perplexity.py:183-186 — punctuation set for the ratio check
 PUNCTUATION = ".。,，!！?？:：;；"
 
@@ -86,14 +104,15 @@ def check_perplexity(ppl: float, spam: bool, threshold: float = 200.0) -> bool:
 
 def has_spam_col(text_col: str) -> Column:
     """Native OR-chain of regexp_like calls plus the pipe/punctuation ratio
-    checks — all 12 patterns are valid Java regex AND RE2 (DuckDB) with
-    identical search semantics; patterns are passed via lit() so SQL-literal
+    checks — uses SPAM_PATTERNS_PORTABLE so \\d/\\s carry Python-`re` unicode
+    semantics (full-width digits, U+3000 ideographic space) identically in
+    Java regex AND RE2 (DuckDB); patterns are passed via lit() so SQL-literal
     backslash escaping never applies. Empty text yields NULL (the relational
     analog of the reference's ZeroDivisionError — callers decide)."""
     t = F.col(text_col)
     n = F.length(t)
     out = F.lit(False)
-    for p in SPAM_PATTERNS:
+    for p in SPAM_PATTERNS_PORTABLE:
         out = out | F.regexp_like(t, F.lit(p))
     pipe_cnt = n - F.length(F.replace(t, F.lit("|"), F.lit("")))
     out = out | ((pipe_cnt > 0) & (pipe_cnt / n > F.lit(0.01)))

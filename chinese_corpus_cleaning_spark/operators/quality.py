@@ -76,26 +76,26 @@ def _eval_one(text, trie, cfg: PipelineConfig) -> dict:
     if text is None:
         return _err_row("null_text")
     try:
-        st = compute_stats(text)
-        flags = check_flags(st, cfg.rule)
-        rscore = rule_score(text, st, flags, cfg.rule)
+        row = {f.name: None for f in QUALITY_SCHEMA.fields}
+        if cfg.enable_rule:
+            st = compute_stats(text)
+            flags = check_flags(st, cfg.rule)
+            rscore = rule_score(text, st, flags, cfg.rule)
+            row["rule_passed"] = all(flags.values())
+            row["rule_checks"] = flags
+            row["rule_score"] = rscore
         # ONE DFA walk serves scrub + detect + per-line feature counts
         scrubbed, positions = dfa_scan_positions(text, trie)
-        feat = evaluate_features(text, trie, cfg.feature, matches=positions)
-        matches = [w for _, w in positions]
-        return {
-            "rule_passed": all(flags.values()),
-            "rule_checks": flags,
-            "rule_score": rscore,
-            "feature_passed": feat.passed,
-            "feature_count": feat.feature_count,
-            "feature_words": feat.feature_words,
-            "avg_feature_per_line": feat.avg_per_line,
-            "feature_score": feat.score,
-            "scrubbed_text": scrubbed,
-            "scrub_reasons": sorted(set(matches)),
-            "error": None,
-        }
+        row["scrubbed_text"] = scrubbed
+        row["scrub_reasons"] = sorted({w for _, w in positions})
+        if cfg.enable_feature:
+            feat = evaluate_features(text, trie, cfg.feature, matches=positions)
+            row["feature_passed"] = feat.passed
+            row["feature_count"] = feat.feature_count
+            row["feature_words"] = feat.feature_words
+            row["avg_feature_per_line"] = feat.avg_per_line
+            row["feature_score"] = feat.score
+        return row
     except ZeroDivisionError:
         # reference parity: empty text errors out of get_rule_score
         # (rule_filter.py:383) and is counted as an error doc (main.py:304-307)
@@ -130,18 +130,27 @@ def with_quality(
 ) -> DataFrame:
     """Append quality columns + native-expression composite score & keep.
 
-    The composite mirrors main.py:219-251 with the default enabled
-    components: (w_rule*rule + w_feature*feature) / (w_rule + w_feature);
-    keep = score >= threshold (main.py:207-209). Error docs get
-    quality_score NULL and keep=false.
+    The composite mirrors main.py:219-251 over the ENABLED components:
+    weighted mean of the present scores divided by the present weight mass
+    (reference _calculate_quality_score; with both components disabled the
+    reference returns 0.0, main.py:222-224); keep = score >= threshold
+    (main.py:207-209). Error docs get quality_score NULL and keep=false.
     """
     udf = make_quality_udf(trie_broadcast, cfg)
     df = df.withColumn("q", udf(F.col(text_col)))
-    total_w = cfg.weight_rule + cfg.weight_feature
-    score: Column = (
-        F.col("q.rule_score") * F.lit(cfg.weight_rule)
-        + F.col("q.feature_score") * F.lit(cfg.weight_feature)
-    ) / F.lit(total_w)
+    comps: list[tuple[Column, float]] = []
+    if cfg.enable_rule:
+        comps.append((F.col("q.rule_score"), cfg.weight_rule))
+    if cfg.enable_feature:
+        comps.append((F.col("q.feature_score"), cfg.weight_feature))
+    if comps:
+        total_w = sum(w for _, w in comps)
+        weighted = comps[0][0] * F.lit(comps[0][1])
+        for c, w in comps[1:]:
+            weighted = weighted + c * F.lit(w)
+        score: Column = weighted / F.lit(total_w)
+    else:
+        score = F.lit(0.0)
     return (
         df.withColumn(
             "quality_score",

@@ -108,10 +108,17 @@ def decontaminate_overlap(
     — its distinct n-gram hash set broadcasts; the corpus side is a map-side
     explode + broadcast semi-join + per-doc count. No corpus shuffle beyond
     the final per-doc aggregation on id."""
+    # Guard the short-doc case: sequence(n, size) DESCENDS when size < n
+    # (slice start would hit 0 -> INVALID_PARAMETER_VALUE.START at runtime),
+    # while DuckDB's generate_series(n, size) yields an empty list. A doc
+    # with < n tokens (e.g. unsegmented Chinese text = 1 whitespace token)
+    # simply has no n-grams on either engine.
     gram = (
+        f"case when size(split({text_col}, ' ')) >= {n} then "
         f"transform(sequence({n}, size(split({text_col}, ' '))), "
         f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
-        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint))"
+        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
+        f"else cast(array() as array<bigint>) end"
     )
     bench_grams = (
         benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct()

@@ -1005,8 +1005,17 @@ def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
     "eval set"; every corpus doc sharing any token 8-gram with it is
     flagged (broadcast n-gram-hash semi-join — the test-set-leakage guard
-    of a training-data pipeline)."""
-    d = load(spark, sf_dir, "documents")
+    of a training-data pipeline). Docs with doc_id % 13 == 0 are truncated
+    to 3 tokens (deterministically, on BOTH engines) so the gate exercises
+    the short-doc path: fewer than n tokens -> zero n-grams, not a
+    sequence(n, size)-descending crash."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " "),
+        ).otherwise(F.col("text")),
+    )
     bench = d.where(F.col("doc_id") % 97 == 0)
     out = textanalysis.decontaminate_overlap(d, bench, n=8)
     return out.select(

@@ -588,7 +588,13 @@ select (length(text) // 50 * 50)::bigint as bucket_lo,
 from documents group by 1"""
 
     o["decontaminate_overlap"] = """
-with toks as (select doc_id, string_split(text, ' ') as t from documents),
+with docs2 as (
+  select doc_id,
+    case when doc_id % 13 = 0
+      then array_to_string(string_split(text, ' ')[1:3], ' ')
+      else text end as text
+  from documents),
+toks as (select doc_id, string_split(text, ' ') as t from docs2),
 grams as (
   select doc_id,
     unnest(list_distinct(list_transform(generate_series(8, len(t)),
@@ -690,11 +696,16 @@ where n_inter / (na.n + nb.n - n_inter) >= {thr}"""
 def build_spam() -> dict[str, str]:
     """lmppl spam-adjusted perplexity: the ppl CTEs mirror ngram_perplexity;
     the spam flag mirrors functions/spam.has_spam_col term-for-term (12 RE2
-    regexes + pipe ratio + punctuation ratio); threshold literals identical."""
-    from ..functions.spam import PUNCTUATION, SPAM_PATTERNS
+    regexes + pipe ratio + punctuation ratio); threshold literals identical.
+    Uses SPAM_PATTERNS_PORTABLE — the same \\p{{Nd}} / explicit-whitespace
+    rewrites the Spark column uses, so both engines carry Python-`re`
+    unicode semantics (full-width digits, U+3000) for \\d and \\s."""
+    from ..functions.spam import PUNCTUATION, SPAM_PATTERNS_PORTABLE
 
     ngram_toks = "['<s>', '<s>'] || string_split(text, ' ') || ['</s>']"
-    rx = " or ".join(f"regexp_matches(text2, '{p}')" for p in SPAM_PATTERNS)
+    rx = " or ".join(
+        f"regexp_matches(text2, '{p}')" for p in SPAM_PATTERNS_PORTABLE
+    )
     pipe = "(length(text2) - length(replace(text2, '|', '')))"
     punct = " + ".join(
         f"(length(text2) - length(replace(text2, '{c}', '')))" for c in PUNCTUATION

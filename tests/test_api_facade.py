@@ -22,7 +22,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def ref_tqf(tmp_path_factory):
+def ref_tqf_cls():
     sys.modules.setdefault("torch", types.ModuleType("torch"))
     if "transformers" not in sys.modules:
         tr = types.ModuleType("transformers")
@@ -64,8 +64,13 @@ def ref_tqf(tmp_path_factory):
         if isinstance(mod, types.ModuleType) and not hasattr(mod, "__file__"):
             del sys.modules[name]
 
+    return RefTQF
+
+
+@pytest.fixture(scope="module")
+def ref_tqf(ref_tqf_cls, tmp_path_factory):
     out = tmp_path_factory.mktemp("ref_out")
-    return RefTQF({"output_dir": str(out)})
+    return ref_tqf_cls({"output_dir": str(out)})
 
 
 @pytest.fixture(scope="module")
@@ -135,6 +140,81 @@ def test_batch_process_matches_reference_stats(spark, ref_tqf, ours, tmp_path):
         assert (our_out / name).read_text(encoding="utf-8") == (
             ref_out / name
         ).read_text(encoding="utf-8")
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        {"quality_threshold": 0.5},
+        {"enable_feature_words": False},
+        {
+            "quality_threshold": 0.6,
+            "component_weights": {
+                "rule_score": 0.7,
+                "feature_score": 0.3,
+                "perplexity_score": 0.0,
+                "clustering_score": 0.0,
+            },
+        },
+    ],
+)
+def test_batch_process_honors_instance_config(
+    spark, ref_tqf_cls, tmp_path, cfg
+):
+    """batch_process must score with THIS instance's config (threshold,
+    weights, enabled components), exactly like the reference whose batch
+    path goes through filter_text (main.py:280-285) — not the module
+    defaults."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, text in enumerate(CASES):
+        (in_dir / f"doc{i}.txt").write_text(text, encoding="utf-8")
+
+    ref = ref_tqf_cls(dict(cfg))
+    ref_stats = ref.batch_process(str(in_dir), str(tmp_path / "ref_out"))
+    ours = TextQualityFilter(dict(cfg), spark=spark)
+    our_stats = ours.batch_process(str(in_dir), str(tmp_path / "our_out"))
+    assert our_stats == ref_stats
+    ref_kept = {
+        p for p in os.listdir(tmp_path / "ref_out") if p.endswith(".txt")
+    }
+    our_kept = {
+        p for p in os.listdir(tmp_path / "our_out") if p.endswith(".txt")
+    }
+    assert our_kept == ref_kept
+    # per-doc scores also agree with the instance-configured filter_text
+    for i, text in enumerate(CASES):
+        import json as _json
+
+        ours_json = _json.loads(
+            (tmp_path / "our_out" / "results" / f"doc{i}.txt.json").read_text(
+                encoding="utf-8"
+            )
+        )
+        hi, res = ours.filter_text(text)
+        assert ours_json["quality_score"] == res["quality_score"]
+        assert ours_json["is_high_quality"] == hi
+        assert ours_json["component_scores"] == res["component_scores"]
+
+
+def test_batch_outputs_use_decoded_filenames(spark, tmp_path):
+    """input_file_name() percent-encodes URIs; outputs must be keyed by the
+    reference's os.path.basename(filepath) — Chinese filenames and spaces
+    intact."""
+    in_dir = tmp_path / "zhin"
+    in_dir.mkdir()
+    names = ["中文文档.txt", "has space.txt"]
+    for n in names:
+        (in_dir / n).write_text(CASES[0], encoding="utf-8")
+    ours = TextQualityFilter(spark=spark)
+    out = tmp_path / "zhout"
+    stats = ours.batch_process(str(in_dir), str(out))
+    assert stats["total"] == 2
+    got = set(os.listdir(out / "results"))
+    assert got == {f"{n}.json" for n in names}, got
+    sout = tmp_path / "zhsout"
+    ours.batch_filter_sensitive(str(in_dir), str(sout))
+    assert set(os.listdir(sout)) == set(names)
 
 
 def test_batch_filter_sensitive_matches_reference(spark, ref_tqf, ours, tmp_path):

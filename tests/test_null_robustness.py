@@ -63,6 +63,38 @@ def test_text_analysis_ops_survive_nulls(spark, nullish):
     assert textanalysis.doc_length_histogram(nullish).count() >= 1
 
 
+def test_decontaminate_short_docs(spark, nullish):
+    """Docs with fewer than n tokens (the norm for unsegmented Chinese text,
+    which whitespace-splits to ONE token) must yield zero n-grams, not a
+    SparkRuntimeException from sequence(n, size) descending when size < n.
+    DuckDB's generate_series yields an empty list for the same docs — the
+    engines must agree that short docs are simply uncontaminated."""
+    docs = spark.createDataFrame(
+        [
+            (1, "短中文文本没有空格"),           # 1 token < n
+            (2, "three tokens only"),             # 3 tokens < n
+            (3, "a b c d e f g h i j k l m n"),   # 14 tokens >= n
+            (4, ""),                               # empty -> 1 empty token
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h zz")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.decontaminate_overlap(docs, bench, n=8).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["n_overlap"] == 0 and not out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0
+    assert out[3]["contaminated"]  # shares the 'a b c d e f g h' 8-gram
+    assert out[4]["n_overlap"] == 0
+    # null text must also survive (explode of empty gram array drops the row,
+    # the left join restores it)
+    assert textanalysis.decontaminate_overlap(nullish, bench, n=8).count() == 4
+
+
 def test_perplexity_survives_nulls(spark, nullish):
     clean = nullish.where(F.col("text").isNotNull())
     model = perplexity.ngram_counts(clean, n=3)

@@ -47,7 +47,10 @@ _ATOMS = st.sampled_from(
     ["在线", "播放", "视频", "一区", "二区", "久", "不卡", "精品", "日本",
      "韩国", "欧美", "激情", "小说", "成人", "观看", "一本", "道", "中文",
      "字幕", "区", "1", "23", " ", "\t", "\n", "a", "正常", "文本", "。",
-     "|", "!", "！", "?", ",", "，", ":", ";", "；", "：", "？", "."]
+     "|", "!", "！", "?", ",", "，", ":", ";", "；", "：", "？", ".",
+     # unicode \d / \s atoms: full-width digits (category Nd), ideographic
+     # space U+3000, NBSP, en-space — Python re matches these with \d/\s
+     "１", "２３", "　", " ", " "]
 )
 spam_texts = st.lists(_ATOMS, min_size=0, max_size=40).map("".join)
 
@@ -112,6 +115,12 @@ def test_spark_columns_match_python(spark):
         (5, "nothing suspicious here", 400.0),
         (6, "a|b|c|d short pipes", 100.0),
         (7, "太多标点。。。！！？？，，；；：：。！", 100.0),
+        # unicode \d/\s parity: full-width digits + ideographic space are
+        # spam per Python re — the portable Java/RE2 patterns must agree
+        (8, "１区２ 这是一些中文正文内容", 100.0),
+        (9, "在线　播放 这是一些中文正文内容", 100.0),
+        (10, "视频 一区 二区 这是一些中文正文内容", 100.0),
+        (11, "1区a 这不是垃圾因为a不是数字字符所以不匹配规则", 100.0),
     ]
     df = (
         spark.createDataFrame(rows, ["doc_id", "text", "ppl"])
