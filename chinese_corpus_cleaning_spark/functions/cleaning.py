@@ -63,6 +63,44 @@ def clean_text_whitelist(text: str) -> str:
     return _MULTISPACE.sub(" ", "".join(kept)).strip()
 
 
+# Portable (Java regex + RE2) twins of the whitelist cleaner's three steps,
+# built from the SAME constants so the native Spark column and the DuckDB
+# oracle can't drift from the Python form (byte parity pinned by
+# tests/test_functions_differential.py::test_whitelist_clean_col_matches_python).
+_EMOJI_RANGES = (
+    (0x1F300, 0x1F5FF),
+    (0x2190, 0x21FF),   # ←-⇿
+    (0x2600, 0x26FF),   # ☀-⛿
+    (0x2700, 0x27BF),   # ✀-➿
+    (0x1F600, 0x1F6FF),
+    (0x1F700, 0x1F77F),
+    (0x1F900, 0x1F9FF),
+)
+EMOJI_PATTERN_PORTABLE = (
+    "[" + "".join(f"\\x{{{a:x}}}-\\x{{{b:x}}}" for a, b in _EMOJI_RANGES) + "]+"
+)
+# negate the keep-set: CJK block + latin alnum + every whitelisted
+# punctuation codepoint, written as \x{...} so no char needs class-escaping
+NON_WHITELIST_PORTABLE = (
+    "[^A-Za-z0-9\\x{4e00}-\\x{9fff}"
+    + "".join(f"\\x{{{ord(c):x}}}" for c in sorted(_ALLOWED_PUNCT))
+    + "]"
+)
+
+
+def clean_whitelist_col(col):
+    """Native-Column twin of clean_text_whitelist: after the per-codepoint
+    whitelist filter only ASCII spaces can remain as whitespace, so the
+    multi-space collapse and the final strip reduce to ' {2,}' + trim —
+    identical semantics in Python re, Java regex, and RE2."""
+    from pyspark.sql import functions as F
+
+    t = F.regexp_replace(col, F.lit(EMOJI_PATTERN_PORTABLE), F.lit(""))
+    t = F.regexp_replace(t, F.lit(NON_WHITELIST_PORTABLE), F.lit(""))
+    t = F.regexp_replace(t, F.lit(" {2,}"), F.lit(" "))
+    return F.trim(t)
+
+
 # --- HTML -> text extraction (tool.py:38-63) ---
 
 _DROP_TAGS = frozenset(("script", "style", "meta", "noscript", "header", "footer", "nav"))

@@ -560,6 +560,37 @@ def _cc_distributed(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def dedup_edges(
+    docs: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_bucket: int | None = 256,
+) -> DataFrame:
+    """The duplicate-graph edge list feeding connected_components: exact
+    edges (member -> md5-group representative) unioned with banded-LSH
+    near-dup edges over the distinct texts only. Exposed separately so plan
+    tests can assert shuffle keys before the CC checkpoint truncates the
+    lineage (see dedup_representatives for the shuffle contract)."""
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
+    )
+    groups = keyed.groupBy("h").agg(F.min("id").alias("rep"))
+    exact_edges = (
+        keyed.join(groups, "h")
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    reps = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).join(groups.select(F.col("rep").alias("id")), "id", "left_semi")
+    near_edges = minhash_similarity_pairs(
+        reps, cfg, "id", "text", max_band_bucket
+    ).select("id_a", "id_b")
+    return near_edges.union(exact_edges)
+
+
 def dedup_representatives(
     docs: DataFrame,
     cfg: DedupConfig = DedupConfig(),
@@ -576,19 +607,16 @@ def dedup_representatives(
     boilerplate-identical pages collapse to one representative, which is also
     what defuses the quadratic LSH buckets), then capped banded LSH over the
     distinct texts only, then connected components over the union of exact
-    edges (member -> exact representative) and near-dup edges."""
-    keyed = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    groups = keyed.groupBy("t").agg(F.min("id").alias("rep"))
-    exact_edges = (
-        keyed.join(groups, "t")
-        .where(F.col("id") != F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    edges (member -> exact representative) and near-dup edges.
+
+    The exact pass groups and joins on the 128-bit md5 DIGEST, never on the
+    raw text: at corpus scale the group + join-back would otherwise shuffle
+    every multi-KB document body twice as a key. Here only (id, digest)
+    pairs cross those shuffles; the text column crosses exactly ONE shuffle
+    (the semi-join fetching each representative's text for MinHash)."""
+    comp = connected_components(
+        dedup_edges(docs, cfg, id_col, text_col, max_band_bucket)
     )
-    reps = groups.select(F.col("rep").alias("id"), F.col("t").alias("text"))
-    near_edges = minhash_similarity_pairs(
-        reps, cfg, "id", "text", max_band_bucket
-    ).select("id_a", "id_b")
-    comp = connected_components(near_edges.union(exact_edges))
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
@@ -618,7 +646,15 @@ def salt_hot_keys(
     rand(): those change across task recomputation, so a retried upstream
     stage could re-salt rows after a downstream stage consumed the old salts —
     a correctness hazard under fault recovery. Deterministic salting keeps the
-    plan replayable (same doctrine as plans/oracles.py)."""
+    plan replayable (same doctrine as plans/oracles.py).
+
+    LIMITATION: byte-identical duplicate rows all hash to the same bucket, so
+    content-derived salting degrades to a no-op exactly when a hot key is
+    composed of verbatim copies. When the table carries a unique discriminator
+    (a doc_id / url column), pass it as ``salt_src_cols`` — a unique column
+    spreads even identical payloads uniformly. The dedup pipeline itself is
+    not exposed: its exact-dup pre-pass (dedup_representatives) collapses
+    verbatim copies via the md5 hash-agg BEFORE any salted join runs."""
     if salt_src_cols is None:
         salt_src_cols = [c for c in df.columns if c != key_col]
     if not salt_src_cols:

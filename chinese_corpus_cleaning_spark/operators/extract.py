@@ -74,6 +74,98 @@ def lang_id(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lang_pred", "lang_conf", "is_zh"])
 
 
+def is_zh_relational(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Relational twin of functions/langid.identify — the J1 offset-membership
+    boolean (subsample_warc_warc.py:46-87 collapsed to a column) as pure SQL,
+    DuckDB-expressible for the driver gate. Returns
+    (doc_id, lang, conf, is_zh) with EXACTLY identify()'s decision arithmetic:
+    short/empty -> ('', 0.0, false); zh score = CJK-char ratio of the cleaned
+    text; stopword argmax (alphabetical-first tie-break, strict >) with
+    conf = min(1, 4*score); zh wins ties (>=).
+
+    Float determinism note (plans/oracles.py doctrine): both engines compute
+    the same left-assoc double divisions/multiplications, so the >= / >
+    comparisons and the 0.7 threshold agree bit-for-bit."""
+    from ..functions.langid import LANGS, STOPWORDS
+    from ..functions.spam import PY_WS_CLASS
+
+    raw = F.col(text_col)
+    # clean_text (tool.py:8-14): \s+ -> ' ' (Python-re \s set), control strip
+    ctrl = "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}]"
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, F.lit(PY_WS_CLASS + "+"), F.lit(" ")),
+            F.lit(ctrl),
+            F.lit(""),
+        )
+    )
+    d = docs.select(
+        F.col(id_col), raw.alias("__raw__"), cleaned.alias("__cleaned__")
+    )
+    hit_exprs = {
+        lang: F.expr(
+            "size(filter(split(lower(__cleaned__), ' '), "
+            f"t -> t in ({', '.join(repr(w) for w in STOPWORDS[lang])})))"
+        )
+        for lang in LANGS
+    }
+    d = d.select(
+        id_col,
+        "__raw__",
+        "__cleaned__",
+        *[hit_exprs[lang].alias(f"__hits_{lang}__") for lang in LANGS],
+    )
+    n = F.length(F.col("__cleaned__"))
+    cjk = n - F.length(
+        F.regexp_replace(
+            F.col("__cleaned__"), F.lit("[\\x{4e00}-\\x{9fff}]"), F.lit("")
+        )
+    )
+    zh_score = cjk.cast("double") / n.cast("double")
+    n_tok = F.size(F.split(F.lower(F.col("__cleaned__")), " "))
+    scores = {
+        lang: F.col(f"__hits_{lang}__").cast("double") / n_tok.cast("double")
+        for lang in LANGS
+    }
+    best_score = F.greatest(*[scores[lang] for lang in LANGS])
+    best_lang = F.lit("und")
+    for lang in reversed(LANGS):  # build reversed so earliest lang wins ties
+        best_lang = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(
+            best_lang
+        )
+    lang_col = (
+        F.when((zh_score >= best_score) & (zh_score > 0.0), F.lit("zh"))
+        .when(best_score > 0.0, best_lang)
+        .otherwise(F.lit("und"))
+    )
+    conf_col = (
+        F.when((zh_score >= best_score) & (zh_score > 0.0), zh_score)
+        .when(best_score > 0.0, F.least(F.lit(1.0), best_score * F.lit(4.0)))
+        .otherwise(F.lit(0.0))
+    )
+    gated = (
+        F.col("__raw__").isNull()
+        | (F.length("__raw__") < F.lit(min_chars))
+        | (F.length("__cleaned__") == 0)
+    )
+    return d.select(
+        id_col,
+        F.when(gated, F.lit("")).otherwise(lang_col).alias("lang"),
+        F.when(gated, F.lit(0.0)).otherwise(conf_col).alias("conf"),
+        F.when(
+            gated, F.lit(False)
+        ).otherwise(
+            (lang_col == "zh") & (conf_col >= F.lit(threshold))
+        ).alias("is_zh"),
+    )
+
+
 def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
     """E3 rebuild: derive extracted/cleaned text + language columns from raw
     html; the WARC two-pass offset membership (subsample_warc_warc.py:46-87)

@@ -25,8 +25,6 @@ differential tests that EXECUTE the reference as the oracle,
 tests/test_functions_differential.py):
   * P1 HTML->text (tool.py:38-63): stateful tag-subtree parsing — no SQL
     twin exists in DuckDB; byte-parity unit/differential tested.
-  * P3 charset-whitelist clean (clear_redundancy.py:15-51): Python-re
-    unicode class semantics; byte-exact diff-fuzzed.
   * P4 long-repeat removal (clear_redundancy.py:104-170): suffix-automaton
     with interval merging — inherently iterative; byte-exact diff-fuzzed
     within the work budget (fell-back docs flagged, see functions/cleaning).
@@ -34,8 +32,10 @@ tests/test_functions_differential.py):
     depth-of-merged-node quirk, unreachable from SQL; the match-count gate
     entry (feature_ac_matches) covers the multiset, the diff fuzz covers
     positions.
-K1/K7/A3 (writers, word-list merge) are file-side effects — covered by the
-Spark E2E tests (tests/test_pipeline_spark.py), not value oracles.
+P3 (whitelist_clean), K7/A3 (merge_wordlists), and J1 (extract_is_zh) ARE
+gated below: their Python-re semantics reduce to portable \\x{..} classes
+(functions/cleaning.py, functions/spam.py) identical in Java regex and RE2.
+K1 (writers) stays file-side-effect-tested (tests/test_pipeline_spark.py).
 """
 
 from __future__ import annotations
@@ -1026,3 +1026,87 @@ def q_decontaminate(spark, sf_dir):
 
 
 QUERIES["decontaminate_overlap"] = q_decontaminate
+
+
+# ---- round-3 gate additions: P3 whitelist clean, K7/A3 merge, J1 is_zh ----
+
+# deterministic decoration so the ASCII word-salad fixture exercises the
+# emoji/CJK/forbidden-char paths; IDENTICAL literal in the DuckDB oracle
+WHITELIST_DECOR = " 😀🌀⛄➿🚀中文测试！，。【】§é①△\nabc  12 "
+
+
+def q_whitelist_clean(spark, sf_dir):
+    """P3 charset-whitelist clean (clear_redundancy.py:15-51) as a native
+    Column chain (functions/cleaning.clean_whitelist_col): emoji-range strip,
+    per-codepoint whitelist filter, multi-space collapse + trim."""
+    from ..functions.cleaning import clean_whitelist_col
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(WHITELIST_DECOR)),
+        ).otherwise(F.col("text")),
+    )
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        clean_whitelist_col(F.col("text2")).alias("cleaned"),
+    )
+
+
+def q_merge_wordlists(spark, sf_dir):
+    """K7/A3 word-list merge (merge_all_sensitive_words.py:33-71): union ->
+    trim -> drop-empty -> distinct -> orderBy over two table-derived token
+    lists plus the SMALL_LEXICON; rank pins the sort order into the
+    order-insensitive value hash."""
+    from pyspark.sql.window import Window
+
+    from ..sources.wordlists import SMALL_LEXICON, merge_wordlist_dfs
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split("text", " ")).alias("value")
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.explode(F.split("text", " ")).alias("value")
+    )
+    c = spark.createDataFrame([(w,) for w in SMALL_LEXICON], ["value"])
+    merged = merge_wordlist_dfs([a, b, c])
+    return merged.select(
+        "word",
+        F.row_number().over(Window.orderBy("word")).cast("bigint").alias("rank"),
+    )
+
+
+def q_extract_is_zh(spark, sf_dir):
+    """J1 offset-membership boolean (subsample_warc_warc.py:46-87) as the
+    relational langid twin (operators/extract.is_zh_relational). Decoration:
+    doc_id%11 -> sub-min_chars short doc; doc_id%4 -> CJK-prefixed doc with a
+    ratio that crosses the 0.7 threshold as doc_id%9 grows."""
+    from ..operators.extract import is_zh_relational
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("短"))
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.expr("repeat('中文内容', cast(doc_id % 9 as int) + 1)"),
+                F.lit(" "),
+                F.substring(F.col("text"), 1, 12),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    out = is_zh_relational(d, id_col="doc_id", text_col="text2")
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "lang",
+        F.round("conf", 7).alias("conf"),
+        "is_zh",
+    )
+
+
+QUERIES["whitelist_clean"] = q_whitelist_clean
+QUERIES["merge_wordlists"] = q_merge_wordlists
+QUERIES["extract_is_zh"] = q_extract_is_zh

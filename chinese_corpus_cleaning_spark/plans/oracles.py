@@ -522,7 +522,117 @@ group by r_name"""
     o.update(build_cleaning())
     o.update(build_dedup_full())
     o.update(build_textanalysis_extra())
+    o.update(build_round3())
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_round3() -> dict[str, str]:
+    """P3 whitelist clean, K7/A3 word-list merge, J1 is_zh relational twin.
+    Every regex class is imported from the SAME module constants the Spark
+    side uses (portable \\x{..} / \\p{Nd} syntax, valid in Java regex AND
+    RE2), so the two engines cannot drift."""
+    from ..functions.cleaning import (
+        EMOJI_PATTERN_PORTABLE,
+        NON_WHITELIST_PORTABLE,
+    )
+    from ..functions.langid import LANGS, STOPWORDS
+    from ..functions.spam import PY_WS_CLASS
+    from ..sources.wordlists import SMALL_LEXICON
+    from .catalog import WHITELIST_DECOR
+
+    o: dict[str, str] = {}
+
+    o["whitelist_clean"] = f"""
+with t2 as (
+  select doc_id,
+    text || case when doc_id % 3 = 0 then '{WHITELIST_DECOR}' else '' end
+      as text2
+  from documents)
+select doc_id::bigint as doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(text2,
+    '{EMOJI_PATTERN_PORTABLE}', '', 'g'),
+    '{NON_WHITELIST_PORTABLE}', '', 'g'),
+    ' {{2,}}', ' ', 'g')) as cleaned
+from t2"""
+
+    lex = ", ".join(f"'{w}'" for w in SMALL_LEXICON)
+    o["merge_wordlists"] = f"""
+with u as (
+  select unnest(string_split(text, ' ')) as value
+  from documents where doc_id % 2 = 0
+  union all
+  select unnest(string_split(text, ' ')) as value
+  from documents where doc_id % 2 = 1
+  union all
+  select unnest([{lex}]) as value),
+w as (select distinct trim(value) as word from u where trim(value) <> '')
+select word, row_number() over (order by word) as rank from w"""
+
+    ctrl = r"[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}]"
+    score_cols = []
+    for lang in LANGS:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t)))::double"
+            f" / len(toks)::double as s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANGS) + ")"
+    best_lang_case = (
+        "case "
+        + " ".join(
+            f"when s_{lang} = best_score then '{lang}'" for lang in LANGS
+        )
+        + " else 'und' end"
+    )
+    # NB the case arms run in LANGS (alphabetical) order -> earliest lang
+    # wins ties, same as identify()'s strict-> loop
+    o["extract_is_zh"] = f"""
+with t2 as (
+  select doc_id,
+    case when doc_id % 11 = 0 then '短'
+         when doc_id % 4 = 0 then
+           repeat('中文内容', (doc_id % 9)::int + 1) || ' ' || substr(text, 1, 12)
+         else text end as raw
+  from documents),
+c as (
+  select doc_id, raw,
+    trim(regexp_replace(regexp_replace(raw, '{PY_WS_CLASS}+', ' ', 'g'),
+         '{ctrl}', '', 'g')) as cleaned
+  from t2),
+m as (
+  select doc_id, raw, cleaned,
+    (length(cleaned) - length(regexp_replace(cleaned,
+       '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))::double
+      / length(cleaned)::double as zh_score,
+    string_split(lower(cleaned), ' ') as toks
+  from c),
+s as (
+  select doc_id, raw, cleaned, zh_score, {", ".join(score_cols)}
+  from m),
+b as (
+  select doc_id, raw, cleaned, zh_score, {best} as best_score,
+    {", ".join(f"s_{lang}" for lang in LANGS)}
+  from s),
+lc as (
+  select doc_id, raw, cleaned, zh_score, best_score,
+    case when zh_score >= best_score and zh_score > 0.0 then 'zh'
+         when best_score > 0.0 then {best_lang_case}
+         else 'und' end as lang0,
+    case when zh_score >= best_score and zh_score > 0.0 then zh_score
+         when best_score > 0.0 then least(1.0, best_score * 4.0)
+         else 0.0 end as conf0
+  from b),
+g as (
+  select doc_id, lang0, conf0,
+    (raw is null or length(raw) < 10 or length(cleaned) = 0) as gated
+  from lc)
+select doc_id::bigint as doc_id,
+  case when gated then '' else lang0 end as lang,
+  round(case when gated then 0.0 else conf0 end, 7) as conf,
+  case when gated then false else (lang0 = 'zh' and conf0 >= 0.7) end as is_zh
+from g"""
+
+    return o
 
 
 def build_dedup_full() -> dict[str, str]:

@@ -104,9 +104,14 @@ def run(
             pass  # no lineage yet -> full run
 
     # run-level counters ride the same action via observe() (K3 rebuild:
-    # stats.json of main.py:310-312 without a second pass)
+    # stats.json of main.py:310-312 without a second pass); harvested from
+    # the Observation right after the write job commits — no listener, no
+    # extra scan
+    from pyspark.sql import Observation
+
+    obs = Observation("metrics")
     observed = labels.observe(
-        "metrics",
+        obs,
         F.count(F.lit(1)).alias("total"),
         F.sum(F.col("keep").cast("long")).alias("high_quality"),
         F.sum((~F.col("keep") & F.col("error").isNull()).cast("long")).alias(
@@ -133,32 +138,47 @@ def run(
         .parquet(labels_path)
     )
 
-    # per-partition lineage written after the labels action commits
+    # Per-partition lineage: the ONE read-back of the labels table (it must
+    # re-scan, not re-derive — lineage certifies what was actually committed,
+    # over ALL partitions including those kept from earlier runs).
     lineage = (
         spark.read.parquet(labels_path)
         .groupBy("part_id")
         .agg(
             F.count(F.lit(1)).alias("rows_in"),
             F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("rows_error"),
         )
         .withColumn("status", F.lit("complete"))
     )
     lineage.write.mode("overwrite").parquet(lineage_path)
 
-    stats = (
-        spark.read.parquet(labels_path)
+    if not resume:
+        # fresh run: the observe() counters that rode the write job ARE the
+        # whole-table stats — zero additional scans
+        return {k: int(v or 0) for k, v in obs.get.items()}
+
+    # resume: the write covered only the missing partitions, so whole-table
+    # stats are the lineage sums (lineage itself was just written; this agg
+    # scans that tiny table, not the labels)
+    t = (
+        spark.read.parquet(lineage_path)
         .agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.col("keep").cast("long")).alias("high_quality"),
-            F.sum((~F.col("keep") & F.col("error").isNull()).cast("long")).alias(
-                "low_quality"
-            ),
-            F.sum(F.col("error").isNotNull().cast("long")).alias("error"),
+            F.sum("rows_in").alias("total"),
+            F.sum("rows_kept").alias("high_quality"),
+            F.sum("rows_error").alias("error"),
         )
         .collect()[0]
-        .asDict()
     )
-    return stats
+    total = int(t["total"] or 0)
+    high = int(t["high_quality"] or 0)
+    err = int(t["error"] or 0)
+    return {
+        "total": total,
+        "high_quality": high,
+        "low_quality": total - high - err,
+        "error": err,
+    }
 
 
 def main() -> None:  # pragma: no cover - spark-submit entry

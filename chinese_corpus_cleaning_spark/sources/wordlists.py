@@ -92,12 +92,13 @@ def broadcast_trie(spark, words: list[str] | None = None):
     return spark.sparkContext.broadcast(TrieBox(words))
 
 
-def merge_wordlists(spark, paths: list[str]):
-    """Word-list merge (A3/K7: merge_all_sensitive_words.py:33-71 —
-    union -> strip -> dedup -> sort) as a one-shot DataFrame job."""
+def merge_wordlist_dfs(dfs: list):
+    """Core of the word-list merge (A3/K7: merge_all_sensitive_words.py:33-71
+    — union -> strip -> dedup -> sort) over DataFrames each carrying a
+    ``value`` string column. Factored out of the file-reading wrapper so the
+    driver gate can exercise the operator on table-derived lists."""
     from pyspark.sql import functions as F
 
-    dfs = [spark.read.text(p) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.union(d)
@@ -107,3 +108,9 @@ def merge_wordlists(spark, paths: list[str]):
         .distinct()
         .orderBy("word")
     )
+
+
+def merge_wordlists(spark, paths: list[str]):
+    """Word-list merge over files, one word per line (the reference's CLI
+    build step for all_sensitive_words.txt)."""
+    return merge_wordlist_dfs([spark.read.text(p) for p in paths])

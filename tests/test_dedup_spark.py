@@ -82,6 +82,38 @@ def test_salt_hot_keys(spark):
     assert cold_keys == 20
 
 
+def test_salt_hot_keys_identical_payloads_need_unique_discriminator(spark):
+    """Content-derived salting degrades to ONE bucket when a hot key's rows
+    are byte-identical copies (the typical boilerplate composition) — the
+    documented limitation. Passing a unique column (doc_id) as
+    salt_src_cols restores the spread."""
+    df = spark.createDataFrame(
+        [("hot", i, "same boilerplate body") for i in range(100)]
+        + [("cold", 1000, "x")],
+        ["host", "doc_id", "text"],
+    )
+    degraded = dedup.salt_hot_keys(
+        df, "host", threshold=50, salt_buckets=8, salt_src_cols=["text"]
+    )
+    n_degraded = (
+        degraded.where(F.col("host") == "hot")
+        .select("salted_key")
+        .distinct()
+        .count()
+    )
+    assert n_degraded == 1  # the no-op case, pinned
+    spread = dedup.salt_hot_keys(
+        df, "host", threshold=50, salt_buckets=8, salt_src_cols=["doc_id"]
+    )
+    n_spread = (
+        spread.where(F.col("host") == "hot")
+        .select("salted_key")
+        .distinct()
+        .count()
+    )
+    assert n_spread >= 4
+
+
 def test_salt_hot_keys_deterministic_across_materializations(spark):
     """The salt must be a pure function of stable row content: a task retry
     (here: a second materialization of the same plan) re-derives identical

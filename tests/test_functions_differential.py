@@ -211,3 +211,103 @@ def test_feature_eval_length_changing_case_fold(ref_modules):
         assert ours.feature_count == ref_res["feature_count"], t
         assert ours.avg_per_line == ref_res["avg_per_line"], t
         assert ours.score == det.get_feature_score(t), t
+
+
+# --- native-Column twins vs their Python forms (round 3 gate additions) ---
+
+_WL_ATOMS = [
+    "中文",
+    "测试内容",
+    "abc",
+    "XYZ",
+    "012",
+    "😀",
+    "🌀",
+    "⛄",
+    "➿",
+    "🚀",
+    "🧀",         # 1F9C0 (in 1F900-1F9FF)
+    "🜀",          # 1F700 block
+    "←",
+    "⇿",
+    "§",
+    "é",
+    "①",
+    "△",
+    "！",
+    "，。【】",
+    "…—￥",
+    " ",
+    "  ",
+    "\t",
+    "\n",
+    "\x07",
+    "|",
+    "[]\\",
+    "'\"",
+    "~@#$%^&*()_+<>?:{}",
+    "　",          # U+3000 (NOT whitelisted -> dropped)
+]
+
+
+def test_whitelist_clean_col_matches_python(spark):
+    """Byte parity: the portable Java-regex chain (clean_whitelist_col) vs
+    the Python-re per-char filter (clean_text_whitelist), over atoms covering
+    every emoji range, whitelist edge chars, and non-whitelisted unicode."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chinese_corpus_cleaning_spark.functions.cleaning import (
+        clean_text_whitelist,
+        clean_whitelist_col,
+    )
+
+    rng = random.Random(42)
+    texts = ["".join(rng.choices(_WL_ATOMS, k=rng.randint(0, 30))) for _ in range(200)]
+    texts += ["", " ", "😀😀", "a  b", "中  文", "".join(_WL_ATOMS)]
+    texts += ["".join(p) for p in itertools.permutations(["😀", " ", "a", "△"], 4)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "t"]
+    ).select("i", clean_whitelist_col(F.col("t")).alias("c"))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == clean_text_whitelist(t), repr(t)
+
+
+def test_is_zh_relational_matches_identify(spark):
+    """The J1 relational twin must reproduce functions/langid.identify's
+    (lang, conf, is_zh) decision exactly, including the short-doc gate, the
+    zh>=best tie rule, and the 4x-stopword-confidence clamp."""
+    import random
+
+    from chinese_corpus_cleaning_spark.functions.langid import identify
+    from chinese_corpus_cleaning_spark.operators.extract import is_zh_relational
+
+    rng = random.Random(7)
+    atoms = [
+        "the", "and", "of", "der", "die", "la", "los", "le", "les", "words",
+        "content", "中文", "内容很长的中文句子", "短", "x", " ", "  ", "\t",
+        "　", "１２３", "。", "!",
+    ]
+    texts = [
+        " ".join(rng.choices(atoms, k=rng.randint(0, 25))) for _ in range(150)
+    ]
+    texts += [
+        "", "短", "中文内容中文内容中文内容", "the and of to is in that it a",
+        "中文 the and of", None, "1234567890", "123456789",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r
+        for r in is_zh_relational(df, id_col="i", text_col="t").collect()
+    }
+    for i, t in enumerate(texts):
+        lang, conf, zh = identify(t) if t is not None else ("", 0.0, False)
+        r = got[i]
+        assert r["lang"] == lang, (repr(t), r)
+        assert r["conf"] == pytest.approx(conf, abs=0, rel=0), (repr(t), r)
+        assert r["is_zh"] == zh, repr(t)

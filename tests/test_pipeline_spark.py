@@ -142,6 +142,24 @@ def test_run_with_lineage_and_resume(spark, docs, tmp_path):
     assert stats2 == stats
 
 
+def test_run_reads_output_at_most_once(spark, docs, tmp_path):
+    """A fresh run() must be 1 write + 1 read-back (lineage): run-level stats
+    ride the write via a harvested Observation, and whole-table stats on
+    resume come from the tiny lineage table. Tripwire: the job count for a
+    fresh run stays at the measured floor (labels write + lineage agg+write
+    + parquet footer jobs); a regression to a second labels scan raises it."""
+    sc = spark.sparkContext
+    out = str(tmp_path / "out")
+    sc.setJobGroup("fresh-run-jobcount", "pipeline job-count tripwire")
+    try:
+        stats = run(spark, docs, out, partitions=4)
+    finally:
+        sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("fresh-run-jobcount"))
+    assert stats["total"] == N_DOCS
+    assert n_jobs <= 5, n_jobs
+
+
 def test_generator_determinism(spark):
     a = gen.docs_df(spark, 100, partitions=2).orderBy("url").collect()
     b = gen.docs_df(spark, 100, partitions=7).orderBy("url").collect()

@@ -100,6 +100,35 @@ def test_dedup_representatives_plan_is_cartesian_free(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_dedup_edges_never_shuffle_on_text(spark):
+    """The exact-dup pre-pass must key its group + join-back on the md5
+    digest: no Exchange may hash-partition on the raw text column (at corpus
+    scale that shuffles multi-KB document bodies as keys, twice). Asserted
+    on dedup_edges — the full pre-CC lineage, before the connected-components
+    localCheckpoint truncates the plan. Auto-broadcast is disabled so the
+    exact-pass group + join-back materialize as real shuffles (at corpus
+    scale the digest-group side never fits a broadcast)."""
+    import re
+
+    from chinese_corpus_cleaning_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _explained(
+            dedup.dedup_edges(docs, id_col="doc_id", text_col="text")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # formatted plans carry the partitioning spec on "Arguments:" lines
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan  # sanity: the exact pass does shuffle (slim keys)
+    for keys in exchanges:
+        # every shuffle key must be the digest or an id — never the text body
+        assert not re.match(r"(t|text)#", keys), (keys, plan)
+
+
 def test_quality_pipeline_single_arrow_eval(spark):
     """The per-doc quality stage must cross into Python exactly ONCE per
     batch (one ArrowEvalPython node), not once per column/score."""
