@@ -1107,6 +1107,21 @@ def q_extract_is_zh(spark, sf_dir):
     )
 
 
+def q_dbscan_clusters(spark, sf_dir):
+    """DBSCAN cluster inventory (clustering.py:50-90) over the banded-LSH
+    candidate graph: core/border/noise roles + min-id cluster labels
+    (operators/dedup.dbscan_clusters). The oracle replays the identical
+    LSH CTE chain and a recursive-CTE closure over core-core edges."""
+    d = load(spark, sf_dir, "documents")
+    out = dedup.dbscan_clusters(d, _SMALL_MINHASH, min_samples=3)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint"),
+        "role",
+    )
+
+
 QUERIES["whitelist_clean"] = q_whitelist_clean
 QUERIES["merge_wordlists"] = q_merge_wordlists
 QUERIES["extract_is_zh"] = q_extract_is_zh
+QUERIES["dbscan_clusters"] = q_dbscan_clusters

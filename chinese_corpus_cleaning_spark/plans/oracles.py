@@ -632,6 +632,54 @@ select doc_id::bigint as doc_id,
   case when gated then false else (lang0 = 'zh' and conf0 >= 0.7) end as is_zh
 from g"""
 
+    o["dbscan_clusters"] = f"""
+with recursive
+sh as ({_SHINGLES5}),
+sig as ({_SIG}),
+bandt as ({_BANDS}),
+cand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bandt a join bandt b using (band_key)
+  where a.doc_id < b.doc_id),
+agree as (
+  select c.id_a, c.id_b,
+         sum(case when sa.minhash = sb.minhash then 1 else 0 end) as agr
+  from cand c
+  join sig sa on sa.doc_id = c.id_a
+  join sig sb on sb.doc_id = c.id_b and sb.slot = sa.slot
+  group by 1, 2),
+near as (select id_a, id_b from agree
+         where agr / {_NH} >= {_SMALL_MINHASH.similarity_threshold}),
+nbr as (select id_a as id, id_b as n from near
+        union select id_b, id_a from near),
+core as (select id from (select id, count(*) as nn from nbr group by id)
+         where nn + 1 >= 3),
+ce as (
+  select p.id_a as s, p.id_b as t from near p
+  where p.id_a in (select id from core) and p.id_b in (select id from core)),
+sym as (select s, t from ce union select t, s from ce),
+reach as (
+  select s as id, t as r from sym
+  union
+  select reach.id, sym.t as r from reach join sym on reach.r = sym.s),
+ccomp as (select id, least(id, min(r)) as comp from reach group by id),
+corelab as (
+  select c.id, coalesce(cc.comp, c.id) as cluster
+  from core c left join ccomp cc on c.id = cc.id),
+border as (
+  select nbr.id, min(cl.cluster) as cluster
+  from nbr join corelab cl on nbr.n = cl.id
+  where nbr.id not in (select id from core)
+  group by nbr.id)
+select d.doc_id::bigint as doc_id,
+  coalesce(cl.cluster, b.cluster, -1)::bigint as cluster,
+  case when cl.id is not null then 'core'
+       when b.id is not null then 'border'
+       else 'noise' end as role
+from documents d
+left join corelab cl on d.doc_id = cl.id
+left join border b on d.doc_id = b.id"""
+
     return o
 
 

@@ -82,6 +82,67 @@ def test_salt_hot_keys(spark):
     assert cold_keys == 20
 
 
+def test_dbscan_clusters_match_python_reference(spark):
+    """dbscan_clusters' relational structure (core/border/noise + min-id
+    labels) must equal a driver-side DBSCAN computed from the SAME candidate
+    graph: degree+self >= min_samples cores, components over core-core
+    edges, border = min core-neighbor cluster, noise = -1."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    min_samples = 3
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_similarity_pairs(docs, cfg).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {i for i, ns in adj.items() if len(ns) + 1 >= min_samples}
+    # components over core-core edges, min-id label
+    label = {i: i for i in core}
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for a, b in pairs:
+        if a in core and b in core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                label[hi] = lo
+    cluster = {i: find(i) for i in core}
+    expected = {}
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for i in all_ids:
+        if i in core:
+            expected[i] = (cluster[i], "core")
+        elif i in adj and any(n in core for n in adj[i]):
+            expected[i] = (
+                min(cluster[n] for n in adj[i] if n in core),
+                "border",
+            )
+        else:
+            expected[i] = (-1, "noise")
+
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dedup.dbscan_clusters(docs, cfg, min_samples).collect()
+    }
+    assert got == expected
+    # the fixture's near-dup families must actually produce all three roles
+    roles = {v[1] for v in got.values()}
+    assert roles == {"core", "border", "noise"} or roles == {"core", "noise"}
+
+
 def test_salt_hot_keys_identical_payloads_need_unique_discriminator(spark):
     """Content-derived salting degrades to ONE bucket when a hot key's rows
     are byte-identical copies (the typical boilerplate composition) — the
