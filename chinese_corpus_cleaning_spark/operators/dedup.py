@@ -223,17 +223,36 @@ def minhash_similarity_pairs(
         sig_src = signed.join(cand_ids, id_col, "leftsemi")
     sig_a = sig_src.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
     sig_b = sig_src.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
+    # EXACT prefix prune: a pair needs >= k_min of num_hashes agreeing slots
+    # to reach the threshold, so it needs >= k_min - (num_hashes - prefix)
+    # agreements within the first `prefix` slots even if every remaining
+    # slot agrees. Most candidates are band-collision junk (measured 41.4M
+    # candidates -> 1.56M survivors at 1.6M docs) and die on the 32-slot
+    # comparison; the AND short-circuits, so the full 128-slot zip_with
+    # runs only on prefix survivors. Output set provably unchanged.
+    nh = cfg.num_hashes
+    k_min = next(k for k in range(nh + 1) if k / nh >= cfg.similarity_threshold)
+    prefix = min(32, nh)
+    need = k_min - (nh - prefix)
+    full_agree = (
+        "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y),"
+        " v -> v))"
+    )
+    cond = F.expr(f"{full_agree} / size(minhash_a) >= {cfg.similarity_threshold}")
+    if need > 0:
+        prefix_agree = (
+            f"size(filter(zip_with(slice(minhash_a, 1, {prefix}),"
+            f" slice(minhash_b, 1, {prefix}), (x, y) -> x = y), v -> v))"
+        )
+        cond = F.expr(f"{prefix_agree} >= {need}") & cond
     est = (
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
+        .where(cond)
         .withColumn(
             "est_jaccard",
-            F.expr(
-                "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y),"
-                " v -> v)) / size(minhash_a)"
-            ),
+            F.expr(f"{full_agree} / size(minhash_a)"),
         )
-        .where(F.col("est_jaccard") >= F.lit(cfg.similarity_threshold))
         .select("id_a", "id_b", "est_jaccard")
     )
     return est
