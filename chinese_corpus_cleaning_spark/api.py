@@ -133,15 +133,23 @@ class TextQualityFilter:
         Spark pipeline's PipelineConfig so batch_process scores with the SAME
         threshold / weights / enabled components as filter_text (the
         reference's batch path goes through filter_text and honors
-        self.config — main.py:280-285)."""
-        w = dict(GENERAL_DEFAULTS["component_weights"])
-        w.update(self.config.get("component_weights") or {})
+        self.config — main.py:280-285).
+
+        No default-merging of a user-supplied weights dict: the reference's
+        _calculate_quality_score (main.py:232-246) iterates the dict AS-IS,
+        so a component whose key is absent from a partial
+        ``component_weights`` contributes to neither the weighted sum nor
+        the weight mass — i.e. weight 0 here, keeping batch_process and
+        filter_text score-identical for partial dicts too."""
+        w = self.config.get("component_weights")
+        if w is None:
+            w = GENERAL_DEFAULTS["component_weights"]
         return PipelineConfig(
             quality_threshold=self.config["quality_threshold"],
-            weight_rule=w["rule_score"],
-            weight_feature=w["feature_score"],
-            weight_perplexity=w["perplexity_score"],
-            weight_clustering=w["clustering_score"],
+            weight_rule=w.get("rule_score", 0.0),
+            weight_feature=w.get("feature_score", 0.0),
+            weight_perplexity=w.get("perplexity_score", 0.0),
+            weight_clustering=w.get("clustering_score", 0.0),
             enable_rule=self.config["enable_rule_filter"],
             enable_feature=self.config["enable_feature_words"],
             enable_perplexity=self.config["enable_perplexity"],
@@ -242,12 +250,12 @@ class TextQualityFilter:
                 "url", "text", "keep", "quality_score", "rule_score",
                 "feature_score", "error",
             )
-            seen = 0
+            seen_names: set[str] = set()
             # toLocalIterator: results stream back one Arrow batch at a
             # time — driver memory is O(batch), not O(corpus)
             for r in labeled.toLocalIterator():
-                seen += 1
                 name = os.path.basename(r["url"])
+                seen_names.add(name)
                 if r["error"] is not None:
                     # reference parity (main.py:114-133): per-doc errors are
                     # low-quality in the stats, not "error"
@@ -285,8 +293,20 @@ class TextQualityFilter:
                         indent=2,
                     )
             # files Spark's wholetext reader drops (0-byte) behave like the
-            # reference's empty-text path: error swallowed -> low_quality
-            stats["low_quality"] += len(files) - seen
+            # reference's empty-text path: error swallowed -> low_quality,
+            # and a per-file error results JSON is still written (the
+            # reference writes results for EVERY processed file,
+            # main.py:286-301; its empty-text error label maps to the
+            # pipeline's "empty_text", operators/quality.py:_eval_one)
+            for path in files:
+                name = os.path.basename(path)
+                if name in seen_names:
+                    continue
+                stats["low_quality"] += 1
+                with open(
+                    os.path.join(results_dir, f"{name}.json"), "w", encoding="utf-8"
+                ) as f:
+                    json.dump({"error": "empty_text"}, f, ensure_ascii=False)
         with open(os.path.join(output_dir, "stats.json"), "w", encoding="utf-8") as f:
             json.dump(stats, f, ensure_ascii=False, indent=2)
         return stats

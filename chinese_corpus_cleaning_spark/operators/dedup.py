@@ -650,7 +650,16 @@ def dedup_representatives(
     raw text: at corpus scale the group + join-back would otherwise shuffle
     every multi-KB document body twice as a key. Here only (id, digest)
     pairs cross those shuffles; the text column crosses exactly ONE shuffle
-    (the semi-join fetching each representative's text for MinHash)."""
+    (the semi-join fetching each representative's text for MinHash).
+
+    Tradeoff (deliberate): digest keying makes the "exact" pass exact only
+    up to md5 collisions — two distinct texts colliding on the 128-bit
+    digest would silently merge into one component. The expected collision
+    count at 10^12 docs is ~(10^12)^2 / 2^129 ≈ 1.5e-15 — negligible
+    against the near-dup stage's own approximation — and the same digest
+    family already keys the shingle MinHash. Swap F.md5 for
+    sha2(·, 256) here if a zero-collision guarantee is ever required; the
+    plan shape is unchanged."""
     comp = connected_components(
         dedup_edges(docs, cfg, id_col, text_col, max_band_bucket)
     )

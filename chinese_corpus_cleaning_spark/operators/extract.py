@@ -21,6 +21,7 @@ from ..functions.cleaning import (
     clean_text_whitelist,
     extract_html_text,
     remove_long_repeated_substrings,
+    remove_long_repeated_substrings_ex,
 )
 from ..functions import langid as _langid
 
@@ -51,11 +52,35 @@ def clean_whitelist(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: None if t is None else clean_text_whitelist(t))
 
 
-@F.pandas_udf(StringType())
-def remove_repeats(texts: pd.Series) -> pd.Series:
+REPEATS_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("fell_back", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(REPEATS_SCHEMA)
+def remove_repeats_ex(texts: pd.Series) -> pd.DataFrame:
     """suffix-automaton long-repeat removal (clear_redundancy.py:104-170).
     O(n) states per doc; confined to the extraction stage like the reference
-    (convert_warc_to_htmls.py:42-45)."""
+    (convert_warc_to_htmls.py:42-45). ``fell_back`` is True iff the doc blew
+    the exact automaton's work budget and took the approximate chunk-dedup
+    path — the byte-identical-to-reference guarantee holds only when False,
+    so a 100 TB run can quantify (and audit) the approximate-path rate."""
+    rows = [
+        {"text": None, "fell_back": False}
+        if t is None
+        else dict(zip(("text", "fell_back"), remove_long_repeated_substrings_ex(t)))
+        for t in texts
+    ]
+    return pd.DataFrame(rows, columns=["text", "fell_back"])
+
+
+@F.pandas_udf(StringType())
+def remove_repeats(texts: pd.Series) -> pd.Series:
+    """Text-only form of remove_repeats_ex for callers that don't need the
+    fallback flag."""
     return texts.map(
         lambda t: None if t is None else remove_long_repeated_substrings(t)
     )
@@ -169,10 +194,14 @@ def is_zh_relational(
 def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
     """E3 rebuild: derive extracted/cleaned text + language columns from raw
     html; the WARC two-pass offset membership (subsample_warc_warc.py:46-87)
-    collapses into the single boolean ``is_zh`` column (SURVEY.md J1)."""
+    collapses into the single boolean ``is_zh`` column (SURVEY.md J1).
+    ``repeat_removal_fell_back`` surfaces P4's over-budget approximate path
+    per doc (expected ~0 on real corpora; auditable at scale)."""
     return (
-        df.withColumn("extracted_text", extract_text(F.col(html_col)))
-        .withColumn("extracted_text", remove_repeats(F.col("extracted_text")))
+        df.withColumn("r", remove_repeats_ex(extract_text(F.col(html_col))))
+        .withColumn("extracted_text", F.col("r.text"))
+        .withColumn("repeat_removal_fell_back", F.col("r.fell_back"))
+        .drop("r")
         .select("*", lang_id(F.col("extracted_text")).alias("l"))
         .select("*", "l.*")
         .drop("l")

@@ -132,22 +132,40 @@ def train_broadcast_model(
 ):
     """Distributed training -> compact driver model -> broadcast handle for
     the UDF fast path. The collected model is the aggregated counts table
-    (small: unique n-grams), NOT the corpus."""
-    rows = ngram_counts(docs, n, text_col).collect()
-    v = vocab_size(docs, text_col).collect()[0]["v"]
-    pair_counts = {(r["context"], r["word"]): r["cnt"] for r in rows}
-    ctx_tot: dict[str, int] = {}
-    for (ctx, _), c in pair_counts.items():
-        ctx_tot[ctx] = ctx_tot.get(ctx, 0) + c
+    (small: unique n-grams), NOT the corpus.
+
+    Collection rides Arrow both ways (``toPandas`` columnar collect, dicts
+    built from the columnar arrays) — the same shape that cut the dedup
+    driver-CC collect 5.7x (operators/dedup._cc_driver); Row-object
+    ``collect()`` deserializes one Python object per cell and is the known
+    driver-side scaling cap (CLAUDE.md)."""
+    pdf = ngram_counts(docs, n, text_col).toPandas()
+    v = int(vocab_size(docs, text_col).toPandas()["v"].iloc[0])
+    # flat "context\x1fword" string keys: one dict probe per n-gram when
+    # scoring (vs tuple construction + tuple hash), and pandas .map-able
+    keys = (pdf["context"] + _SEP + pdf["word"]).to_list()
+    pair_counts = dict(zip(keys, pdf["cnt"].to_list()))
+    ctx_tot = pdf.groupby("context", sort=False)["cnt"].sum().to_dict()
     return spark.sparkContext.broadcast(
         {"n": n, "alpha": alpha, "v": v, "pairs": pair_counts, "ctx": ctx_tot}
     )
 
 
 def perplexity_udf(model_bc):
-    """Scale fast path: score with zero joins; whitespace tokens to match the
-    relational trainer."""
-    import math
+    """Scale fast path: score with zero joins (the model rides the broadcast;
+    no shuffle on the corpus side at all). Whitespace tokens to match the
+    relational trainer.
+
+    Batched, not per-row: tokenization flattens the whole Arrow batch into
+    one n-gram key list, both count lookups are single ``pd.Series.map``
+    passes over that flat list (C-loop dict probes), and the Lidstone
+    arithmetic + log2 + per-doc reduction run as numpy vector ops
+    (``np.add.reduceat`` over doc offsets — sequential within each segment,
+    preserving the reference's left-to-right float accumulation order).
+    Semantics are identical to the relational scorer: P=(c+α)/(C+α|V|),
+    log2 floor only when P underflows to 0, ppl=2^(−mean log2 P),
+    empty-token docs -> +inf, null text -> null."""
+    import numpy as np
 
     @F.pandas_udf(DoubleType())
     def ppl(texts: pd.Series) -> pd.Series:
@@ -155,21 +173,43 @@ def perplexity_udf(model_bc):
         n, alpha, v = m["n"], m["alpha"], m["v"]
         pairs, ctx_tot = m["pairs"], m["ctx"]
 
-        def one(t):
+        pair_keys: list[str] = []
+        ctx_keys: list[str] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
             if t is None:
-                return None
+                lens[j] = -1
+                continue
             toks = [BOS] * (n - 1) + t.split(" ") + [EOS]
-            total, cnt = 0.0, 0
+            lens[j] = len(toks) - (n - 1)
             for i in range(n - 1, len(toks)):
                 ctx = _SEP.join(toks[i - (n - 1) : i])
-                num = pairs.get((ctx, toks[i]), 0) + alpha
-                den = ctx_tot.get(ctx, 0) + alpha * v
-                p = num / den if den > 0 else 0.0
-                total += math.log2(p) if p > 0 else LOG_FLOOR
-                cnt += 1
-            return 2.0 ** (-total / cnt) if cnt else float("inf")
+                ctx_keys.append(ctx)
+                pair_keys.append(ctx + _SEP + toks[i])
 
-        return texts.map(one)
+        cnt = pd.Series(pair_keys, dtype=object).map(pairs).to_numpy(dtype=np.float64)
+        ctx = pd.Series(ctx_keys, dtype=object).map(ctx_tot).to_numpy(dtype=np.float64)
+        num = np.nan_to_num(cnt) + alpha
+        den = np.nan_to_num(ctx) + alpha * v
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = np.where(den > 0, num / den, 0.0)
+            log2p = np.where(p > 0, np.log2(np.where(p > 0, p, 1.0)), LOG_FLOOR)
+
+        counted = np.maximum(lens, 0)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counted[:-1], out=offsets[1:])
+        # reduceat only over NON-empty segments: their offsets are strictly
+        # increasing and in-bounds, and zero-length gaps between them add
+        # nothing, so each reduceat slice is exactly one document's grams
+        sums = np.zeros(len(texts))
+        nz = np.flatnonzero(counted > 0)
+        if nz.size:
+            sums[nz] = np.add.reduceat(log2p, offsets[nz])
+        with np.errstate(divide="ignore"):
+            out = np.where(counted > 0, 2.0 ** (-sums / np.maximum(counted, 1)), np.inf)
+        res = pd.Series(out)
+        res[lens < 0] = None
+        return res
 
     return ppl
 

@@ -143,13 +143,16 @@ def with_quality(
         comps.append((F.col("q.rule_score"), cfg.weight_rule))
     if cfg.enable_feature:
         comps.append((F.col("q.feature_score"), cfg.weight_feature))
-    if comps:
-        total_w = sum(w for _, w in comps)
+    total_w = sum(w for _, w in comps)
+    if comps and total_w != 0:
         weighted = comps[0][0] * F.lit(comps[0][1])
         for c, w in comps[1:]:
             weighted = weighted + c * F.lit(w)
         score: Column = weighted / F.lit(total_w)
     else:
+        # zero weight mass (components disabled, or a partial user weights
+        # dict naming none of the enabled components): the reference returns
+        # 0.0, not null (main.py:222-224, 244-246)
         score = F.lit(0.0)
     return (
         df.withColumn(

@@ -69,6 +69,47 @@ def quality_filter_plan(
     )
 
 
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """URI-dispatched table read: ``iceberg:<catalog.db.table>`` loads via
+    the Iceberg source; anything else is a parquet directory."""
+    if path.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(path[len("iceberg:") :])
+    return spark.read.parquet(path)
+
+
+def build_labels_writer(observed: DataFrame, labels_path: str, resume: bool):
+    """Select the labels sink by output URI (SURVEY.md §1.2 maps the K1/K4
+    sinks to partitioned Iceberg tables; partitioned parquet is the
+    sandbox/dev fallback — the resume/idempotency contract is identical).
+
+    Returns ``(sink_kind, commit)`` where ``commit()`` performs the terminal
+    write action — split so plan tests can assert the sink dispatch without
+    needing an Iceberg catalog in the sandbox. Mode mapping mirrors the
+    parquet branch: fresh run -> full replace (createOrReplace ==
+    static overwrite), resume -> overwritePartitions (== dynamic partition
+    overwrite: only re-run part_id partitions are replaced)."""
+    if labels_path.startswith("iceberg:"):
+        table = labels_path[len("iceberg:") :]
+        if resume:
+            return "iceberg:overwritePartitions", observed.writeTo(
+                table
+            ).overwritePartitions
+        return (
+            "iceberg:createOrReplace",
+            observed.writeTo(table).partitionedBy(F.col("part_id")).createOrReplace,
+        )
+
+    def commit() -> None:
+        (
+            observed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic" if resume else "static")
+            .partitionBy("part_id")
+            .parquet(labels_path)
+        )
+
+    return ("parquet:dynamic" if resume else "parquet:static"), commit
+
+
 def run(
     spark: SparkSession,
     docs: DataFrame,
@@ -88,13 +129,18 @@ def run(
     trie_bc = broadcast_trie(spark)
     labels = quality_filter_plan(docs, trie_bc, cfg, partitions)
 
-    labels_path = f"{output_dir}/labels"
-    lineage_path = f"{output_dir}/lineage"
+    if output_dir.startswith("iceberg:"):
+        base = output_dir[len("iceberg:") :]
+        labels_path = f"iceberg:{base}_labels"
+        lineage_path = f"iceberg:{base}_lineage"
+    else:
+        labels_path = f"{output_dir}/labels"
+        lineage_path = f"{output_dir}/lineage"
 
     if resume:
         try:
             done = (
-                spark.read.parquet(lineage_path)
+                read_table(spark, lineage_path)
                 .where(F.col("status") == "complete")
                 .select("part_id")
                 .distinct()
@@ -120,29 +166,23 @@ def run(
         F.sum(F.col("error").isNotNull().cast("long")).alias("error"),
     )
     # Write modes (idempotency contract):
-    #   fresh run  -> static overwrite: the output dir is fully replaced, so
-    #                 stale part_id dirs from an earlier wider run can't leak
-    #                 into the recomputed stats;
-    #   resume     -> overwrite with DYNAMIC partition overwrite: only the
-    #                 re-run partitions are replaced, so a crash between the
-    #                 labels commit and the lineage write re-runs those
+    #   fresh run  -> static overwrite / createOrReplace: the output is fully
+    #                 replaced, so stale part_id partitions from an earlier
+    #                 wider run can't leak into the recomputed stats;
+    #   resume     -> dynamic partition overwrite / overwritePartitions: only
+    #                 the re-run partitions are replaced, so a crash between
+    #                 the labels commit and the lineage write re-runs those
     #                 partitions idempotently (an append here would duplicate
     #                 their rows). The mode is a writer option, not a session
     #                 conf — nothing leaks into other writes on this session.
-    (
-        observed.write.mode("overwrite")
-        .option(
-            "partitionOverwriteMode", "dynamic" if resume else "static"
-        )
-        .partitionBy("part_id")
-        .parquet(labels_path)
-    )
+    _, commit_labels = build_labels_writer(observed, labels_path, resume)
+    commit_labels()
 
     # Per-partition lineage: the ONE read-back of the labels table (it must
     # re-scan, not re-derive — lineage certifies what was actually committed,
     # over ALL partitions including those kept from earlier runs).
     lineage = (
-        spark.read.parquet(labels_path)
+        read_table(spark, labels_path)
         .groupBy("part_id")
         .agg(
             F.count(F.lit(1)).alias("rows_in"),
@@ -151,7 +191,10 @@ def run(
         )
         .withColumn("status", F.lit("complete"))
     )
-    lineage.write.mode("overwrite").parquet(lineage_path)
+    if lineage_path.startswith("iceberg:"):
+        lineage.writeTo(lineage_path[len("iceberg:") :]).createOrReplace()
+    else:
+        lineage.write.mode("overwrite").parquet(lineage_path)
 
     if not resume:
         # fresh run: the observe() counters that rode the write job ARE the
@@ -162,7 +205,7 @@ def run(
     # stats are the lineage sums (lineage itself was just written; this agg
     # scans that tiny table, not the labels)
     t = (
-        spark.read.parquet(lineage_path)
+        read_table(spark, lineage_path)
         .agg(
             F.sum("rows_in").alias("total"),
             F.sum("rows_kept").alias("high_quality"),

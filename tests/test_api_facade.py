@@ -140,6 +140,21 @@ def test_batch_process_matches_reference_stats(spark, ref_tqf, ours, tmp_path):
         assert (our_out / name).read_text(encoding="utf-8") == (
             ref_out / name
         ).read_text(encoding="utf-8")
+    # EVERY input file gets a results JSON, like the reference — including
+    # the 0-byte file Spark's wholetext reader drops (error JSON, no score)
+    ref_results = set(os.listdir(ref_out / "results"))
+    our_results = set(os.listdir(our_out / "results"))
+    assert our_results == ref_results
+    import json as _json
+
+    empty_res = _json.loads(
+        (our_out / "results" / "empty.txt.json").read_text(encoding="utf-8")
+    )
+    assert set(empty_res) == {"error"}
+    ref_empty = _json.loads(
+        (ref_out / "results" / "empty.txt.json").read_text(encoding="utf-8")
+    )
+    assert set(ref_empty) == {"error"}
 
 
 @pytest.mark.parametrize(
@@ -156,6 +171,10 @@ def test_batch_process_matches_reference_stats(spark, ref_tqf, ours, tmp_path):
                 "clustering_score": 0.0,
             },
         },
+        # PARTIAL weights dict: the reference iterates it as-is, so
+        # feature_score must be EXCLUDED from the composite (not given the
+        # default 0.5) — batch vs single-doc divergence regression guard
+        {"component_weights": {"rule_score": 1.0}},
     ],
 )
 def test_batch_process_honors_instance_config(

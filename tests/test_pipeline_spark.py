@@ -109,7 +109,9 @@ def test_extraction_stage(spark, docs, docs_pdf):
     out = {
         r["url"]: r
         for r in with_extraction(docs)
-        .select("url", "extracted_text", "lang_pred", "is_zh")
+        .select(
+            "url", "extracted_text", "repeat_removal_fell_back", "lang_pred", "is_zh"
+        )
         .collect()
     }
     checked = 0
@@ -121,6 +123,10 @@ def test_extraction_stage(spark, docs, docs_pdf):
         assert got["lang_pred"] == lang and got["is_zh"] == is_zh
         checked += 1
     assert checked == N_DOCS
+    # P4 audit column: on the fixture corpus every doc fits the exact
+    # suffix-automaton budget — the approximate-path rate must be 0, which is
+    # exactly what the byte-identical parity above relies on
+    assert all(r["repeat_removal_fell_back"] is False for r in out.values())
     # boilerplate must be gone
     sample = next(iter(out.values()))["extracted_text"]
     assert "版权所有" not in sample and "请启用JS" not in sample
@@ -142,22 +148,60 @@ def test_run_with_lineage_and_resume(spark, docs, tmp_path):
     assert stats2 == stats
 
 
-def test_run_reads_output_at_most_once(spark, docs, tmp_path):
-    """A fresh run() must be 1 write + 1 read-back (lineage): run-level stats
-    ride the write via a harvested Observation, and whole-table stats on
-    resume come from the tiny lineage table. Tripwire: the job count for a
-    fresh run stays at the measured floor (labels write + lineage agg+write
-    + parquet footer jobs); a regression to a second labels scan raises it."""
-    sc = spark.sparkContext
+def test_run_reads_output_at_most_once(spark, docs, tmp_path, monkeypatch):
+    """A fresh run() must be 1 write + 1 read-back: run-level stats ride the
+    labels write via a harvested Observation; the single permitted read-back
+    is the lineage certification scan of the labels table, and nothing reads
+    the lineage table. Asserted STRUCTURALLY (instrumented
+    DataFrameReader.parquet) rather than via a job-count ceiling — job counts
+    vary with AQE, committer, and Spark version (round-3 advice)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    reads: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def counting(self, *paths, **opts):
+        reads.extend(paths)
+        return orig(self, *paths, **opts)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", counting)
     out = str(tmp_path / "out")
-    sc.setJobGroup("fresh-run-jobcount", "pipeline job-count tripwire")
-    try:
-        stats = run(spark, docs, out, partitions=4)
-    finally:
-        sc.setJobGroup(None, None)
-    n_jobs = len(sc.statusTracker().getJobIdsForGroup("fresh-run-jobcount"))
+    stats = run(spark, docs, out, partitions=4)
     assert stats["total"] == N_DOCS
-    assert n_jobs <= 5, n_jobs
+    labels_reads = [p for p in reads if p.startswith(f"{out}/labels")]
+    lineage_reads = [p for p in reads if p.startswith(f"{out}/lineage")]
+    assert len(labels_reads) == 1, reads
+    assert len(lineage_reads) == 0, reads
+
+
+def test_labels_writer_iceberg_dispatch(spark, docs):
+    """SURVEY.md §1.2 maps the K1/K4 sinks to Iceberg tables: an
+    ``iceberg:``-prefixed output must dispatch to the DataFrameWriterV2
+    (writeTo) path — fresh run -> createOrReplace (partitioned by part_id),
+    resume -> overwritePartitions. Asserted on the writer object without
+    committing (the sandbox has no Iceberg catalog; parquet stays the dev
+    fallback and the commit itself is covered by the E2E run tests)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriterV2
+
+    from chinese_corpus_cleaning_spark.plans.pipeline import build_labels_writer
+
+    df = docs.limit(1).select("url", F.lit(0).alias("part_id"))
+
+    kind, commit = build_labels_writer(df, "iceberg:cat.db.labels", resume=False)
+    assert kind == "iceberg:createOrReplace"
+    assert getattr(commit, "__self__", None).__class__ is DataFrameWriterV2
+    assert commit.__name__ == "createOrReplace"
+
+    kind, commit = build_labels_writer(df, "iceberg:cat.db.labels", resume=True)
+    assert kind == "iceberg:overwritePartitions"
+    assert getattr(commit, "__self__", None).__class__ is DataFrameWriterV2
+    assert commit.__name__ == "overwritePartitions"
+
+    kind, commit = build_labels_writer(df, "/tmp/nowhere/labels", resume=False)
+    assert kind == "parquet:static" and callable(commit)
+    kind, commit = build_labels_writer(df, "/tmp/nowhere/labels", resume=True)
+    assert kind == "parquet:dynamic" and callable(commit)
 
 
 def test_generator_determinism(spark):
