@@ -611,17 +611,26 @@ def dedup_edges(
     lineage (see dedup_representatives for the shuffle contract)."""
     keyed = docs.select(
         F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
         F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"),
     )
-    groups = keyed.groupBy("h").agg(F.min("id").alias("rep"))
+    # ONE text shuffle, zero extra joins: the group carries its (identical)
+    # text as an aggregated VALUE — partial aggregation sends at most one
+    # text per distinct digest per map partition, so ~distinct-texts bytes
+    # cross the wire, never keyed on text. (The previous semi-join variant
+    # re-fetched representative texts with an extra corpus-wide join — the
+    # measured ~10% small-scale regression in the round-3 bench drift; this
+    # shape beats both it and the text-keyed round-2 form at every scale.)
+    groups = keyed.groupBy("h").agg(
+        F.min("id").alias("rep"), F.first("text").alias("text")
+    )
     exact_edges = (
-        keyed.join(groups, "h")
+        keyed.select("id", "h")
+        .join(groups.select("h", "rep"), "h")
         .where(F.col("id") != F.col("rep"))
         .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
     )
-    reps = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).join(groups.select(F.col("rep").alias("id")), "id", "left_semi")
+    reps = groups.select(F.col("rep").alias("id"), "text")
     near_edges = minhash_similarity_pairs(
         reps, cfg, "id", "text", max_band_bucket
     ).select("id_a", "id_b")
