@@ -27,13 +27,18 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from chinese_corpus_cleaning_spark.operators import dedup
 from chinese_corpus_cleaning_spark.sources import gen
+# IDENTICAL job at every level (round-4 fix): shuffle partitions and input
+# partitioning are fixed, not derived from the core count — a real cluster
+# keeps the same partitioning when executors are added, and deriving them
+# from `cpus` made the two legs run DIFFERENT physical plans (the
+# low-partition legs spill-bind on the shared disk, distorting the ratio).
 spark = (SparkSession.builder.master(f"local[{cpus}]")
-         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.shuffle.partitions", "32")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "48g")
          .config("spark.ui.enabled", "false").getOrCreate())
 entrymod._ensure_pyfiles(spark)
-docs = gen.docs_df(spark, n_docs, partitions=cpus * 4).select(
+docs = gen.docs_df(spark, n_docs, partitions=64).select(
     F.col("url").alias("doc_id"), "text").cache()
 docs.count()
 # warm python workers / Arrow so interpreter spawn isn't in the timed region

@@ -252,3 +252,97 @@ def host_rollup(docs: DataFrame, url_col: str = "url", salt_buckets: int = 16) -
         .agg(F.sum("pc").alias("n_docs"), F.sum("ps").alias("total_chars"))
         .withColumn("avg_chars", F.col("total_chars") / F.col("n_docs"))
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document repetition quality signals (Rae et al. 2021
+    §A1.1 — the repetition cuts every web-scale training-data pipeline
+    applies; extends the reference's F5 13-gram signal, textstats.py, with
+    the line- and n-gram-level family):
+
+      n_lines             non-empty lines
+      dup_line_frac       2nd+ occurrences of a repeated line / n_lines
+      dup_line_char_frac  chars in those 2nd+ occurrences / total line chars
+      top_bigram_frac     occurrences of the most frequent token 2-gram /
+                          total 2-grams (0.0 when the doc has < 2 tokens)
+      dup_trigram_frac    occurrences of token 3-grams seen > once / total
+                          3-grams (0.0 when the doc has < 3 tokens)
+
+    Fully relational: three explode -> (id, key) hash-agg -> per-id rollup
+    chains, joined on id. Map-side partial aggregation collapses the
+    repeated keys before any shuffle; every shuffle key is (id[, key]) —
+    never raw text. The n-gram exprs guard the size<n case with an explicit
+    empty-array arm (sequence(n, size) DESCENDS when size < n — CLAUDE.md
+    landmine)."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(f"filter(split({text_col}, '\\n'), x -> length(x) > 0)")
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy("id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.length(F.first("line")).alias("len"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.col("cnt") - 1).alias("dup_lines"),
+            F.sum(F.col("cnt") * F.col("len")).alias("tot_chars"),
+            F.sum((F.col("cnt") - 1) * F.col("len")).alias("dup_chars"),
+        )
+    )
+
+    def grams(n: int) -> DataFrame:
+        toks = F.split(
+            F.regexp_replace(F.col(text_col), "\n", " "), " "
+        ).alias("toks")
+        d = docs.select(F.col(id_col).alias("id"), toks)
+        joined = " || ' ' || ".join(f"element_at(toks, cast(i + {j} as int))" for j in range(n))
+        e = (
+            f"case when size(toks) < {n} then cast(array() as array<string>) "
+            f"else transform(sequence(1, size(toks) - {n - 1}), i -> {joined}) end"
+        )
+        return d.select("id", F.explode(F.expr(e)).alias("gram"))
+
+    bi = (
+        grams(2)
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.max("cnt").alias("top_bi"),
+            F.sum("cnt").alias("tot_bi"),
+        )
+    )
+    tri = (
+        grams(3)
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_tri"
+            ),
+            F.sum("cnt").alias("tot_tri"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    out = (
+        base.join(line_stats, "id", "left")
+        .join(bi, "id", "left")
+        .join(tri, "id", "left")
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.coalesce(F.col(den), F.lit(0)) > 0,
+        F.col(num).cast("double") / F.col(den).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        frac("dup_lines", "n_lines").alias("dup_line_frac"),
+        frac("dup_chars", "tot_chars").alias("dup_line_char_frac"),
+        frac("top_bi", "tot_bi").alias("top_bigram_frac"),
+        frac("dup_tri", "tot_tri").alias("dup_trigram_frac"),
+    )

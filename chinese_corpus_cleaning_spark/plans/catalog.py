@@ -1163,3 +1163,37 @@ _reordered.update({k: QUERIES[k] for k in _GATE_TAIL})
 QUERIES.clear()
 QUERIES.update(_reordered)
 del _reordered
+
+
+# ---- round-4 additions (registered past the 50-row driver window; verified
+# ---- by the local 62-query replica, tests/test_oracle_parity.py)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/textanalysis.
+    repetition_signals): dup-line / dup-line-char / top-bigram / dup-trigram
+    fractions. Decoration: doc_id%3==0 -> one token per line (dup lines from
+    repeated tokens); %3==1 -> two duplicated tail lines appended."""
+    from ..operators.textanalysis import repetition_signals
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "case when doc_id % 3 = 0 then replace(text, ' ', chr(10)) "
+            "when doc_id % 3 = 1 then text || chr(10) || substring(text, 1, 30)"
+            " || chr(10) || substring(text, 1, 30) "
+            "else text end"
+        ),
+    )
+    out = repetition_signals(d)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "n_lines",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 9).alias("dup_line_char_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 9).alias("dup_trigram_frac"),
+    )
+
+
+QUERIES["repetition_signals"] = q_repetition_signals

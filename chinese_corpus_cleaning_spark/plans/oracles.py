@@ -523,6 +523,64 @@ group by r_name"""
     o.update(build_dedup_full())
     o.update(build_textanalysis_extra())
     o.update(build_round3())
+    o.update(build_round4())
+    return {k: v.strip() for k, v in o.items()}
+
+
+def build_round4() -> dict[str, str]:
+    """Gopher-style repetition quality signals (operators/textanalysis.
+    repetition_signals). The decoration (doc_id%3 arms) matches
+    catalog.q_repetition_signals; fraction arithmetic is a single double
+    division in both engines (bit-identical), rounded to 9."""
+    o: dict[str, str] = {}
+    o["repetition_signals"] = """
+with d as (
+  select doc_id,
+    case when doc_id % 3 = 0 then replace(text, ' ', chr(10))
+         when doc_id % 3 = 1 then text || chr(10) || substr(text, 1, 30)
+                                  || chr(10) || substr(text, 1, 30)
+         else text end as text
+  from documents),
+lines as (
+  select doc_id,
+    unnest(list_filter(string_split(text, chr(10)), x -> length(x) > 0)) as line
+  from d),
+lc as (select doc_id, line, count(*) as cnt, length(line) as len
+       from lines group by doc_id, line),
+ls as (
+  select doc_id, sum(cnt) as n_lines, sum(cnt - 1) as dup_lines,
+    sum(cnt * len) as tot_chars, sum((cnt - 1) * len) as dup_chars
+  from lc group by doc_id),
+toks as (select doc_id, string_split(replace(text, chr(10), ' '), ' ') as t from d),
+bg as (
+  select doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+    i -> t[i] || ' ' || t[i + 1])) as gram
+  from toks where len(t) >= 2),
+bc as (select doc_id, gram, count(*) as cnt from bg group by doc_id, gram),
+bs as (select doc_id, max(cnt) as top_bi, sum(cnt) as tot_bi from bc group by doc_id),
+tg as (
+  select doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) as gram
+  from toks where len(t) >= 3),
+tc as (select doc_id, gram, count(*) as cnt from tg group by doc_id, gram),
+ts as (select doc_id,
+         sum(case when cnt > 1 then cnt else 0 end) as dup_tri,
+         sum(cnt) as tot_tri
+       from tc group by doc_id)
+select dd.doc_id::bigint as doc_id,
+  coalesce(ls.n_lines, 0)::bigint as n_lines,
+  round(case when coalesce(ls.n_lines, 0) > 0
+        then ls.dup_lines::double / ls.n_lines else 0.0 end, 9) as dup_line_frac,
+  round(case when coalesce(ls.tot_chars, 0) > 0
+        then ls.dup_chars::double / ls.tot_chars else 0.0 end, 9) as dup_line_char_frac,
+  round(case when coalesce(bs.tot_bi, 0) > 0
+        then bs.top_bi::double / bs.tot_bi else 0.0 end, 9) as top_bigram_frac,
+  round(case when coalesce(ts.tot_tri, 0) > 0
+        then ts.dup_tri::double / ts.tot_tri else 0.0 end, 9) as dup_trigram_frac
+from documents dd
+left join ls on ls.doc_id = dd.doc_id
+left join bs on bs.doc_id = dd.doc_id
+left join ts on ts.doc_id = dd.doc_id"""
     return {k: v.strip() for k, v in o.items()}
 
 
