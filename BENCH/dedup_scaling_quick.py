@@ -56,15 +56,49 @@ def loadavg() -> list[float]:
     return [float(x) for x in open("/proc/loadavg").read().split()[:3]]
 
 
+def cpu_jiffies() -> tuple[int, int]:
+    """(busy, total) jiffies across all cpus from /proc/stat line 1."""
+    f = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    idle = f[3] + f[4]  # idle + iowait
+    return sum(f) - idle, sum(f)
+
+
+def disk_bytes() -> tuple[int, int]:
+    """(read, written) bytes summed over physical disks (sectors x 512)."""
+    rd = wr = 0
+    for ln in open("/proc/diskstats"):
+        p = ln.split()
+        # field 3 is device name; skip partitions/loop/ram
+        if p[2].startswith(("loop", "ram")) or p[2][-1].isdigit():
+            continue
+        rd += int(p[5]) * 512
+        wr += int(p[9]) * 512
+    return rd, wr
+
+
 def run_level(cpus: int, n_docs: int) -> dict:
     before = loadavg()
+    j0, t0 = cpu_jiffies()
+    r0, w0 = disk_bytes()
+    wall0 = time.perf_counter()
     out = subprocess.run(
         [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), str(n_docs)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
+    wall = time.perf_counter() - wall0
+    j1, t1 = cpu_jiffies()
+    r1, w1 = disk_bytes()
     r = json.loads(out.stdout.strip().splitlines()[-1])
     r["load_before"] = before
     r["load_after"] = loadavg()
+    # whole-box CPU utilization of this leg's window, in units of cores:
+    # bandwidth-bound legs show busy_cores << cpus while CPU-bound legs
+    # pin busy_cores ~= cpus (+ python workers)
+    if t1 > t0:
+        r["busy_cores"] = round(32 * (j1 - j0) / (t1 - t0), 2)
+    r["io_read_gb"] = round((r1 - r0) / 1e9, 2)
+    r["io_write_gb"] = round((w1 - w0) / 1e9, 2)
+    r["io_write_mb_s"] = round((w1 - w0) / 1e6 / wall, 1)
     return r
 
 
@@ -81,6 +115,14 @@ def main() -> None:
         "eff_2_8": round(eff, 3),
         "load": {"leg2": [r2["load_before"], r2["load_after"]],
                  "leg8": [r8["load_before"], r8["load_after"]]},
+        "util": {
+            lvl: {
+                k: r[k]
+                for k in ("busy_cores", "io_read_gb", "io_write_gb", "io_write_mb_s")
+                if k in r
+            }
+            for lvl, r in (("leg2", r2), ("leg8", r8))
+        },
     }
     with open(os.path.join(HERE, "dedup_quick_runs.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")

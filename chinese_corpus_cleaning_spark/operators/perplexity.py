@@ -152,64 +152,47 @@ def train_broadcast_model(
 
 
 def perplexity_udf(model_bc):
-    """Scale fast path: score with zero joins (the model rides the broadcast;
-    no shuffle on the corpus side at all). Whitespace tokens to match the
-    relational trainer.
+    """Zero-join broadcast scorer: the model rides a SparkContext broadcast,
+    so the corpus side never shuffles at all. Whitespace tokens to match the
+    relational trainer. Semantics identical to the relational scorer:
+    P=(c+α)/(C+α|V|), log2 floor only when P underflows to 0,
+    ppl=2^(−mean log2 P), empty-token docs -> +inf, null text -> null
+    (parity-tested in tests/test_perplexity_scale.py).
 
-    Batched, not per-row: tokenization flattens the whole Arrow batch into
-    one n-gram key list, both count lookups are single ``pd.Series.map``
-    passes over that flat list (C-loop dict probes), and the Lidstone
-    arithmetic + log2 + per-doc reduction run as numpy vector ops
-    (``np.add.reduceat`` over doc offsets — sequential within each segment,
-    preserving the reference's left-to-right float accumulation order).
-    Semantics are identical to the relational scorer: P=(c+α)/(C+α|V|),
-    log2 floor only when P underflows to 0, ppl=2^(−mean log2 P),
-    empty-token docs -> +inf, null text -> null."""
-    import numpy as np
+    Implementation note (measured, BENCH/ppl_udf_bench.py): a fully
+    numpy-vectorized variant (flat key lists -> two Series.map(dict) passes
+    -> np.log2 + add.reduceat) was benchmarked at 0.5-0.9x of this plain
+    per-doc loop on 20k-200k docs — key construction and tokenization
+    dominate, and the vector form just adds three corpus-sized intermediate
+    materializations. The loop stays. The flat "ctx\\x1fword" string keys
+    (vs tuples) and the Arrow-collected model ARE measured wins and are
+    kept. The RELATIONAL scorer (perplexity_relational, broadcast hint) is
+    the production 100 TB path; this UDF is the no-shuffle alternative for
+    models too irregular to join."""
+    import math
 
     @F.pandas_udf(DoubleType())
     def ppl(texts: pd.Series) -> pd.Series:
         m = model_bc.value
         n, alpha, v = m["n"], m["alpha"], m["v"]
         pairs, ctx_tot = m["pairs"], m["ctx"]
+        av = alpha * v
 
-        pair_keys: list[str] = []
-        ctx_keys: list[str] = []
-        lens = np.empty(len(texts), dtype=np.int64)
-        for j, t in enumerate(texts):
+        def one(t):
             if t is None:
-                lens[j] = -1
-                continue
+                return None
             toks = [BOS] * (n - 1) + t.split(" ") + [EOS]
-            lens[j] = len(toks) - (n - 1)
+            total, cnt = 0.0, 0
             for i in range(n - 1, len(toks)):
                 ctx = _SEP.join(toks[i - (n - 1) : i])
-                ctx_keys.append(ctx)
-                pair_keys.append(ctx + _SEP + toks[i])
+                num = pairs.get(ctx + _SEP + toks[i], 0) + alpha
+                den = ctx_tot.get(ctx, 0) + av
+                p = num / den if den > 0 else 0.0
+                total += math.log2(p) if p > 0 else LOG_FLOOR
+                cnt += 1
+            return 2.0 ** (-total / cnt) if cnt else float("inf")
 
-        cnt = pd.Series(pair_keys, dtype=object).map(pairs).to_numpy(dtype=np.float64)
-        ctx = pd.Series(ctx_keys, dtype=object).map(ctx_tot).to_numpy(dtype=np.float64)
-        num = np.nan_to_num(cnt) + alpha
-        den = np.nan_to_num(ctx) + alpha * v
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p = np.where(den > 0, num / den, 0.0)
-            log2p = np.where(p > 0, np.log2(np.where(p > 0, p, 1.0)), LOG_FLOOR)
-
-        counted = np.maximum(lens, 0)
-        offsets = np.zeros(len(texts), dtype=np.int64)
-        np.cumsum(counted[:-1], out=offsets[1:])
-        # reduceat only over NON-empty segments: their offsets are strictly
-        # increasing and in-bounds, and zero-length gaps between them add
-        # nothing, so each reduceat slice is exactly one document's grams
-        sums = np.zeros(len(texts))
-        nz = np.flatnonzero(counted > 0)
-        if nz.size:
-            sums[nz] = np.add.reduceat(log2p, offsets[nz])
-        with np.errstate(divide="ignore"):
-            out = np.where(counted > 0, 2.0 ** (-sums / np.maximum(counted, 1)), np.inf)
-        res = pd.Series(out)
-        res[lens < 0] = None
-        return res
+        return texts.map(one)
 
     return ppl
 
