@@ -346,3 +346,49 @@ def repetition_signals(
         frac("top_bi", "tot_bi").alias("top_bigram_frac"),
         frac("dup_tri", "tot_tri").alias("dup_trigram_frac"),
     )
+
+
+def canonical_url_col(url_col: str = "url"):
+    """Column: canonical form of a web URL — the normalization every crawl
+    dedup applies before content hashing (fragment stripped, scheme+host
+    lowercased, default :80/:443 port dropped, trailing slashes trimmed).
+    Pure regex/case exprs with identical semantics in Spark (Java regex) and
+    DuckDB (RE2): anchors and literal classes only, no \\d/\\s (CLAUDE.md
+    portability doctrine)."""
+    u = F.regexp_replace(F.col(url_col), "#.*", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)
+    )
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(.*)", 1)
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_replace(rest, "/+$", "")
+    return F.when(scheme == "", F.lower(u)).otherwise(
+        F.concat(scheme, F.lit("://"), hostport, rest)
+    )
+
+
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """(doc_id, canon_url, keep_id, is_duplicate_url): crawl-level URL dedup
+    — first occurrence (min id) per canonical URL is the keeper. One hash
+    aggregation on the canonical key + a slim join back; the URL string is
+    the only payload that crosses the shuffle."""
+    canon = docs.select(
+        F.col(id_col).alias("id"), canonical_url_col(url_col).alias("canon_url")
+    )
+    keepers = canon.groupBy("canon_url").agg(F.min("id").alias("keep_id"))
+    return (
+        canon.join(keepers, "canon_url")
+        .select(
+            F.col("id").alias(id_col),
+            "canon_url",
+            "keep_id",
+            (F.col("id") != F.col("keep_id")).alias("is_duplicate_url"),
+        )
+    )

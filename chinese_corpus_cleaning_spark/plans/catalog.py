@@ -1197,3 +1197,41 @@ def q_repetition_signals(spark, sf_dir):
 
 
 QUERIES["repetition_signals"] = q_repetition_signals
+
+
+_URL_DECOR = (
+    "case when doc_id % 5 = 0 then 'HTTP://Host' || cast(doc_id % 7 as string)"
+    " || '.Example.com:80/p/' || cast(doc_id as string) || '/' "
+    "when doc_id % 5 = 1 then 'http://HOST' || cast((doc_id - 1) % 7 as string)"
+    " || '.EXAMPLE.COM/p/' || cast(doc_id - 1 as string) "
+    "when doc_id % 5 = 2 then 'https://host' || cast(doc_id % 7 as string)"
+    " || '.example.com:443/p/' || cast(doc_id as string) || '#frag' "
+    "when doc_id % 5 = 3 then 'ftp://Host' || cast(doc_id % 7 as string)"
+    " || '.example.com:80/p/' || cast(doc_id as string) "
+    "else 'https://host' || cast(doc_id % 7 as string) || '.example.com/p/'"
+    " || cast(doc_id as string) || '//' end"
+)
+
+
+def q_url_dedup(spark, sf_dir):
+    """Crawl URL canonicalization + first-occurrence dedup
+    (operators/textanalysis.canonical_url_col / url_dedup). Decoration
+    builds messy URL variants: %5==0 (upper-case scheme/host, :80, trailing
+    slash) and %5==1 (case-mangled host, clean path for doc_id-1) CANONICALIZE
+    IDENTICALLY -> adjacent-id duplicate pairs; %5==2 drops :443 + fragment;
+    %5==3 (ftp) must KEEP its :80; %5==4 trims doubled trailing slashes."""
+    from ..operators.textanalysis import url_dedup
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_DECOR).alias("url")
+    )
+    out = url_dedup(d)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "canon_url",
+        F.col("keep_id").cast("bigint"),
+        "is_duplicate_url",
+    )
+
+
+QUERIES["url_dedup"] = q_url_dedup

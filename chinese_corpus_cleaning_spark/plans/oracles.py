@@ -581,6 +581,45 @@ from documents dd
 left join ls on ls.doc_id = dd.doc_id
 left join bs on bs.doc_id = dd.doc_id
 left join ts on ts.doc_id = dd.doc_id"""
+
+    # decoration matches catalog._URL_DECOR verbatim ('string' is a DuckDB
+    # alias for varchar); regexes are anchor + literal-class only, identical
+    # semantics in Java regex and RE2
+    o["url_dedup"] = """
+with d as (
+  select doc_id,
+    case when doc_id % 5 = 0 then 'HTTP://Host' || cast(doc_id % 7 as string)
+      || '.Example.com:80/p/' || cast(doc_id as string) || '/'
+    when doc_id % 5 = 1 then 'http://HOST' || cast((doc_id - 1) % 7 as string)
+      || '.EXAMPLE.COM/p/' || cast(doc_id - 1 as string)
+    when doc_id % 5 = 2 then 'https://host' || cast(doc_id % 7 as string)
+      || '.example.com:443/p/' || cast(doc_id as string) || '#frag'
+    when doc_id % 5 = 3 then 'ftp://Host' || cast(doc_id % 7 as string)
+      || '.example.com:80/p/' || cast(doc_id as string)
+    else 'https://host' || cast(doc_id % 7 as string) || '.example.com/p/'
+      || cast(doc_id as string) || '//' end as url
+  from documents),
+s as (select doc_id, regexp_replace(url, '#.*', '') as u from d),
+p as (
+  select doc_id, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) as scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)) as hostport,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+(.*)', 1) as rest
+  from s),
+c as (
+  select doc_id,
+    case when scheme = '' then lower(u)
+      else scheme || '://' ||
+        case when scheme = 'http' then regexp_replace(hostport, ':80$', '')
+             when scheme = 'https' then regexp_replace(hostport, ':443$', '')
+             else hostport end
+        || regexp_replace(rest, '/+$', '')
+    end as canon_url
+  from p),
+k as (select canon_url, min(doc_id) as keep_id from c group by canon_url)
+select c.doc_id::bigint as doc_id, c.canon_url, k.keep_id::bigint as keep_id,
+  (c.doc_id <> k.keep_id) as is_duplicate_url
+from c join k using (canon_url)"""
     return {k: v.strip() for k, v in o.items()}
 
 
