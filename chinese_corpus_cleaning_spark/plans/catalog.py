@@ -1166,7 +1166,7 @@ del _reordered
 
 
 # ---- round-4 additions (registered past the 50-row driver window; verified
-# ---- by the local 62-query replica, tests/test_oracle_parity.py)
+# ---- by the local full-catalog replica, tests/test_oracle_parity.py)
 
 
 def q_repetition_signals(spark, sf_dir):
