@@ -61,6 +61,34 @@ def test_text_analysis_ops_survive_nulls(spark, nullish):
     assert textanalysis.feature_ac_matches(nullish, ("spark", "a")).count() == 4
     assert textanalysis.vocab_topk(nullish, k=5).count() <= 5
     assert textanalysis.doc_length_histogram(nullish).count() >= 1
+    # round-4 ops: every input doc gets a row, null text -> zeroed signals
+    rep = {r["doc_id"]: r for r in textanalysis.repetition_signals(nullish).collect()}
+    assert set(rep) == {1, 2, 3, 4}
+    assert rep[1]["n_lines"] == 0 and rep[1]["dup_line_frac"] == 0.0
+    assert rep[2]["dup_trigram_frac"] == 0.0
+
+
+def test_url_dedup_nulls_and_schemeless(spark):
+    """Null and scheme-less URLs must not crash canonicalization; nulls form
+    no group (SQL null semantics), scheme-less fall back to lowercasing."""
+    d = spark.createDataFrame(
+        [
+            (1, "HTTP://A.b:80/x/"),
+            (2, "http://a.B/x"),
+            (3, None),
+            (4, "no-scheme/PATH"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in textanalysis.url_dedup(d).collect()}
+    assert out[1]["canon_url"] == "http://a.b/x" == out[2]["canon_url"]
+    assert out[1]["is_duplicate_url"] is False
+    assert out[2]["is_duplicate_url"] is True
+    assert out[4]["canon_url"] == "no-scheme/path"
+    # null url: canonical is null; the group join drops it, so the row is
+    # absent from the dedup output rather than crashing — callers keep null
+    # urls out of the url-dedup stage like any other key-less row
+    assert 3 not in out
 
 
 def test_decontaminate_short_docs(spark, nullish):
