@@ -306,7 +306,9 @@ class TextQualityFilter:
                 with open(
                     os.path.join(results_dir, f"{name}.json"), "w", encoding="utf-8"
                 ) as f:
-                    json.dump({"error": "empty_text"}, f, ensure_ascii=False)
+                    json.dump(
+                        {"error": "empty_text"}, f, ensure_ascii=False, indent=2
+                    )
         with open(os.path.join(output_dir, "stats.json"), "w", encoding="utf-8") as f:
             json.dump(stats, f, ensure_ascii=False, indent=2)
         return stats

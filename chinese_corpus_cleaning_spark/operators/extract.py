@@ -197,12 +197,15 @@ def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
     collapses into the single boolean ``is_zh`` column (SURVEY.md J1).
     ``repeat_removal_fell_back`` surfaces P4's over-budget approximate path
     per doc (expected ~0 on real corpora; auditable at scale)."""
+    # temp struct columns use collision-proof names: withColumn silently
+    # REPLACES an existing column, so a plain "r"/"l" would destroy user data
+    rcol, lcol = "__repeats_struct", "__langid_struct"
     return (
-        df.withColumn("r", remove_repeats_ex(extract_text(F.col(html_col))))
-        .withColumn("extracted_text", F.col("r.text"))
-        .withColumn("repeat_removal_fell_back", F.col("r.fell_back"))
-        .drop("r")
-        .select("*", lang_id(F.col("extracted_text")).alias("l"))
-        .select("*", "l.*")
-        .drop("l")
+        df.withColumn(rcol, remove_repeats_ex(extract_text(F.col(html_col))))
+        .withColumn("extracted_text", F.col(f"{rcol}.text"))
+        .withColumn("repeat_removal_fell_back", F.col(f"{rcol}.fell_back"))
+        .drop(rcol)
+        .select("*", lang_id(F.col("extracted_text")).alias(lcol))
+        .select("*", f"{lcol}.*")
+        .drop(lcol)
     )

@@ -351,7 +351,8 @@ def repetition_signals(
 def canonical_url_col(url_col: str = "url"):
     """Column: canonical form of a web URL — the normalization every crawl
     dedup applies before content hashing (fragment stripped, scheme+host
-    lowercased, default :80/:443 port dropped, trailing slashes trimmed).
+    lowercased, default :80/:443 port dropped, trailing PATH slashes trimmed
+    — query strings are opaque values and pass through untouched).
     Pure regex/case exprs with identical semantics in Spark (Java regex) and
     DuckDB (RE2): anchors and literal classes only, no \\d/\\s (CLAUDE.md
     portability doctrine)."""
@@ -366,9 +367,13 @@ def canonical_url_col(url_col: str = "url"):
         .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
         .otherwise(hostport)
     )
-    rest = F.regexp_replace(rest, "/+$", "")
+    # trailing-slash trim applies to the PATH only: '?next=/' vs '?next='
+    # are distinct URLs (query values are opaque), so split path from query
+    # before trimming and re-attach the query untouched
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(rest, "(\\?.*)$", 1)
     return F.when(scheme == "", F.lower(u)).otherwise(
-        F.concat(scheme, F.lit("://"), hostport, rest)
+        F.concat(scheme, F.lit("://"), hostport, path, query)
     )
 
 

@@ -613,7 +613,8 @@ c as (
         case when scheme = 'http' then regexp_replace(hostport, ':80$', '')
              when scheme = 'https' then regexp_replace(hostport, ':443$', '')
              else hostport end
-        || regexp_replace(rest, '/+$', '')
+        || regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+        || regexp_extract(rest, '(\\?.*)$', 1)
     end as canon_url
   from p),
 k as (select canon_url, min(doc_id) as keep_id from c group by canon_url)

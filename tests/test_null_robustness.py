@@ -91,6 +91,27 @@ def test_url_dedup_nulls_and_schemeless(spark):
     assert 3 not in out
 
 
+def test_url_canonical_query_string_is_opaque(spark):
+    """Trailing-slash trim applies to the path only: '?next=/' vs '?next='
+    are DISTINCT urls (query values are opaque), while a trailing slash on
+    the path itself still canonicalizes away (r4 ADVICE probe)."""
+    d = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/p?next=/"),
+            (2, "https://a.example.com/p?next="),
+            (3, "https://a.example.com/p/?next=1"),
+            (4, "https://a.example.com/p?next=1"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["canon_url"] for r in textanalysis.url_dedup(d).collect()}
+    assert out[1] == "https://a.example.com/p?next=/"
+    assert out[2] == "https://a.example.com/p?next="
+    assert out[1] != out[2]
+    # path slash before '?' trims; query untouched
+    assert out[3] == "https://a.example.com/p?next=1" == out[4]
+
+
 def test_decontaminate_short_docs(spark, nullish):
     """Docs with fewer than n tokens (the norm for unsegmented Chinese text,
     which whitespace-splits to ONE token) must yield zero n-grams, not a
