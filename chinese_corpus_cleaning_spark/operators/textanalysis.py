@@ -397,3 +397,144 @@ def url_dedup(
             (F.col("id") != F.col("keep_id")).alias("is_duplicate_url"),
         )
     )
+
+
+# ------------------------------------------------ corpus-level boilerplate
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """(line_md5, doc_freq): md5 digests of non-empty lines that appear in
+    at least ``min_docs`` DISTINCT documents (or ``min_doc_frac`` of the
+    corpus — the threshold then rides the plan as a broadcast scalar, no
+    driver round-trip). This is the cross-document generalization of the
+    reference's per-file line dedup (clear_redundancy.py:172-190): nav/
+    footer boilerplate repeats across MANY documents, not within one.
+
+    Scale shape: per-doc DISTINCT lines explode map-side and are digested
+    BEFORE the shuffle — only (md5, count) partials cross the wire, never
+    line text; distinct-per-doc makes a plain count() equal the distinct-doc
+    frequency. Output size is bounded above by corpus_lines / min_docs."""
+    if (min_docs is None) == (min_doc_frac is None):
+        raise ValueError("exactly one of min_docs / min_doc_frac required")
+    lines = docs.select(
+        F.explode(
+            F.expr(
+                f"array_distinct(filter(split({text_col}, '\\n'),"
+                " x -> length(x) > 0))"
+            )
+        ).alias("line")
+    )
+    freq = lines.groupBy(
+        F.md5(F.encode(F.col("line"), "UTF-8")).alias("line_md5")
+    ).agg(F.count(F.lit(1)).alias("doc_freq"))
+    if min_docs is not None:
+        return freq.where(F.col("doc_freq") >= F.lit(min_docs))
+    tot = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .where(F.col("doc_freq") >= F.ceil(F.lit(min_doc_frac) * F.col("__n_docs")))
+        .select("line_md5", "doc_freq")
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """(id, clean_text, n_lines_removed): drop every line whose digest is in
+    the boilerplate set, corpus-wide. Unique lines and empty lines survive
+    verbatim (empty lines are excluded from frequency counting, so their
+    digest can never enter the set).
+
+    The boilerplate digest set is collapsed to a single array row and
+    broadcast-crossJoined, so document text NEVER crosses a shuffle — the
+    removal filter runs map-side (split -> filter -> array_join). The
+    per-line membership probe is array_contains over the broadcast set
+    (O(|set|) interpreted-lambda scan per line): fine for the bounded
+    nav/footer sets the frequency threshold admits; for a pathologically
+    large set, raise the threshold or run per-host."""
+    bl = boilerplate_lines(docs, id_col, text_col, min_docs, min_doc_frac).agg(
+        F.collect_set("line_md5").alias("__bl")
+    )
+    parts = f"split({text_col}, '\\n')"
+    kept = f"filter({parts}, x -> not array_contains(__bl, md5(x)))"
+    return (
+        docs.crossJoin(F.broadcast(bl))
+        .select(
+            F.col(id_col),
+            F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+            F.expr(f"size({parts}) - size({kept})")
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+# ------------------------------------------------------ Gopher quality cuts
+
+# Published Gopher repetition thresholds (Rae et al. 2021, table A1): a doc
+# fails the cut when any fraction exceeds its bound. Applied to the ROUNDED
+# (9 dp) fractions so the keep decision is bit-identical cross-engine.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.30
+
+
+def gopher_pass_col(
+    dup_line="dup_line_frac",
+    top_bigram="top_bigram_frac",
+    dup_trigram="dup_trigram_frac",
+):
+    """Boolean column: doc passes the Gopher repetition cuts."""
+    return (
+        (F.round(F.col(dup_line), 9) <= F.lit(GOPHER_MAX_DUP_LINE_FRAC))
+        & (F.round(F.col(top_bigram), 9) <= F.lit(GOPHER_MAX_TOP_BIGRAM_FRAC))
+        & (F.round(F.col(dup_trigram), 9) <= F.lit(GOPHER_MAX_DUP_TRIGRAM_FRAC))
+    )
+
+
+# ----------------------------------------------------- crawl frontier dedup
+
+
+def crawl_frontier_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-host crawl-frontier rollup after canonical-URL dedup:
+    (host, n_urls, n_unique, n_dup) — the one-pass shape a crawl frontier
+    needs (which URLs are new, per host, with hot hosts spread).
+
+    Two skew regimes, two mitigations: the dedup groupBy keys on
+    ``canon_url`` (high-cardinality — no hot key by construction); the
+    host rollup keys on ``host``, where one hot host can carry ~30% of a
+    crawl, so phase 1 aggregates on (host, salt) with a content-derived
+    salt (pmod(xxhash64(canon_url))) — deterministic under retries — and
+    phase 2 merges the ``salt_buckets`` partials per host."""
+    dd = url_dedup(docs, id_col, url_col)
+    hosted = dd.select(
+        F.regexp_extract(
+            "canon_url", "^[a-z][a-z0-9+.-]*://([^/?]+)", 1
+        ).alias("host"),
+        F.col("is_duplicate_url"),
+        F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets)).alias("salt"),
+    )
+    partial = hosted.groupBy("host", "salt").agg(
+        F.count(F.lit(1)).alias("pu"),
+        F.sum(F.col("is_duplicate_url").cast("long")).alias("pd"),
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("pu").alias("n_urls"), F.sum("pd").alias("n_dup"))
+        .withColumn("n_unique", F.col("n_urls") - F.col("n_dup"))
+    )

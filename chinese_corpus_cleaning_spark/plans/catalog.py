@@ -1127,46 +1127,8 @@ QUERIES["extract_is_zh"] = q_extract_is_zh
 QUERIES["dbscan_clusters"] = q_dbscan_clusters
 
 
-# The driver's correctness gate snapshots the FIRST 50 catalog entries
-# (CORRECTNESS_r02/r03 keys == first 50 of this dict); the local replica
-# (tests/test_oracle_parity.py) runs all of them. Demote entries whose
-# semantics are fully subsumed by another gated query past the 50-row
-# window so that every distinct operator gets a driver row:
-#   quality_keep           -> quality_keep_full (D1/D3/D4 superset)
-#   ngram_jaccard_pairs    -> ngram_jaccard_candidates (same metric, prod form)
-#   minhash_signatures     -> dedup_minhash_pairs (consumes the signatures)
-#   lsh_band_keys          -> dedup_minhash_pairs (consumes the band keys)
-#   simhash                -> simhash_near_dup_pairs (consumes the signatures)
-#   ann_lsh_buckets        -> ann_topk_lsh (consumes the buckets)
-#   ivf_cells              -> ivf_topk (consumes the cells)
-#   ngram_lm_train         -> ngram_lm_train_pruned (+ ngram_perplexity)
-#   dedup_tokens           -> dedup_lines (same first-occurrence J4 kernel)
-#   segment_sample         -> ppl_preprocess (same P7 sampling kernel)
-#   top_orders_by_revenue  -> part_supplier_revenue + lineitem_pricing_summary
-#                             (relational-breadth shapes)
-_GATE_TAIL = [
-    "quality_keep",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "lsh_band_keys",
-    "simhash",
-    "ann_lsh_buckets",
-    "ivf_cells",
-    "ngram_lm_train",
-    "dedup_tokens",
-    "segment_sample",
-    "top_orders_by_revenue",
-]
-assert set(_GATE_TAIL) <= set(QUERIES)
-_reordered = {k: v for k, v in QUERIES.items() if k not in _GATE_TAIL}
-_reordered.update({k: QUERIES[k] for k in _GATE_TAIL})
-QUERIES.clear()
-QUERIES.update(_reordered)
-del _reordered
-
-
-# ---- round-4 additions (registered past the 50-row driver window; verified
-# ---- by the local full-catalog replica, tests/test_oracle_parity.py)
+# ---- round-4 additions (inside the driver's 50-row window as of round 5 —
+# ---- the single _GATE_TAIL reorder now lives at the END of this module)
 
 
 def q_repetition_signals(spark, sf_dir):
@@ -1235,3 +1197,140 @@ def q_url_dedup(spark, sf_dir):
 
 
 QUERIES["url_dedup"] = q_url_dedup
+
+
+# ---- round-5 additions ---------------------------------------------------
+
+
+_BOILERPLATE_DECOR = (
+    "text || chr(10) || 'COPYRIGHT 2025 CORPUS FOOTER' || chr(10) || "
+    "case when doc_id % 2 = 0 then 'follow us on social media' "
+    "else 'tail ' || cast(doc_id as string) end"
+)
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (operators/textanalysis.
+    remove_boilerplate — the cross-document generalization of the
+    reference's per-file commoncrawl_dedupe pipe, clear_redundancy.py:
+    172-190). Decoration plants a footer line in EVERY doc and a social
+    line in half of them; at min_doc_frac=0.3 both are boilerplate while
+    each doc's unique lines (including the per-doc 'tail N') survive."""
+    from ..operators.textanalysis import remove_boilerplate
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BOILERPLATE_DECOR).alias("text")
+    )
+    out = remove_boilerplate(d, min_doc_frac=0.3)
+    return out.select(
+        F.col("doc_id").cast("bigint"), "clean_text", "n_lines_removed"
+    )
+
+
+def q_quality_keep_full_gopher(spark, sf_dir):
+    """Production composite with the Gopher repetition cuts AND'd into the
+    keep decision (Rae et al. 2021 table A1: dup_line_frac <= 0.30,
+    top_bigram_frac <= 0.18, dup_trigram_frac <= 0.30) — the point of
+    repetition signals is the keep/drop cut, not a standalone table. Cuts
+    compare the 9-dp-rounded fractions so the boolean is bit-identical
+    cross-engine."""
+    from ..operators.textanalysis import gopher_pass_col, repetition_signals
+
+    base = q_quality_keep_full(spark, sf_dir).select("doc_id", "keep_full")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = repetition_signals(d)
+    gp = gopher_pass_col()
+    return base.join(rep, "doc_id").select(
+        F.col("doc_id").cast("bigint"),
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 9).alias("dup_trigram_frac"),
+        gp.alias("gopher_pass"),
+        "keep_full",
+        (F.col("keep_full") & gp).alias("keep_gopher"),
+    )
+
+
+def q_crawl_frontier_dedup(spark, sf_dir):
+    """Canonical-URL dedup + per-host frontier rollup in one pass
+    (operators/textanalysis.crawl_frontier_dedup): the dedup keys on
+    high-cardinality canon_url, the host rollup on salted (host, salt) so a
+    hot host never pins one reducer. Same messy-URL decoration as
+    url_dedup."""
+    from ..operators.textanalysis import crawl_frontier_dedup
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_DECOR).alias("url")
+    )
+    out = crawl_frontier_dedup(d)
+    return out.select(
+        "host",
+        F.col("n_urls").cast("bigint"),
+        F.col("n_dup").cast("bigint"),
+        F.col("n_unique").cast("bigint"),
+    )
+
+
+QUERIES["boilerplate_removal"] = q_boilerplate_removal
+QUERIES["quality_keep_full_gopher"] = q_quality_keep_full_gopher
+QUERIES["crawl_frontier_dedup"] = q_crawl_frontier_dedup
+
+
+# The driver's correctness gate snapshots the FIRST 50 catalog entries; the
+# local replica (tests/test_oracle_parity.py) runs all of them. This reorder
+# is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
+# operator's query stays inside the first 50; new queries displace a
+# redundant one into the tail, or go to the tail themselves if subsumed).
+# Tail entries and what subsumes each:
+#   quality_keep           -> quality_keep_full (D1/D3/D4 superset)
+#   ngram_jaccard_pairs    -> ngram_jaccard_candidates (same metric, prod form)
+#   minhash_signatures     -> dedup_minhash_pairs (consumes the signatures)
+#   lsh_band_keys          -> dedup_minhash_pairs (consumes the band keys)
+#   simhash                -> simhash_near_dup_pairs (consumes the signatures)
+#   ann_lsh_buckets        -> ann_topk_lsh (consumes the buckets)
+#   ivf_cells              -> ivf_topk (consumes the cells)
+#   ngram_lm_train         -> ngram_lm_train_pruned (+ ngram_perplexity)
+#   dedup_tokens           -> dedup_lines (same first-occurrence J4 kernel)
+#   segment_sample         -> ppl_preprocess (same P7 sampling kernel)
+#   top_orders_by_revenue  -> part_supplier_revenue + lineitem_pricing_summary
+#                             (relational-breadth shapes)
+# round-5 demotions (admitting repetition_signals, url_dedup, and the three
+# round-5 operators into the window):
+#   doc_length_histogram   -> quality_stats_rollup (length-shape diagnostics
+#                             subsumed by its grouped char stats)
+#   events_running_total   -> events_sessionize (same window-over-user
+#                             partition/order mechanics)
+#   events_hourly          -> events_salted_totals + events_sessionize (plain
+#                             hash agg on a derived time key; the salted query
+#                             exercises the same two-phase agg on a harder
+#                             key distribution)
+#   events_topk_users      -> vocab_topk (identical rank-over-hash-agg top-k
+#                             shape; events family keeps sessionize /
+#                             json_props / salted_totals driver rows)
+#   embedding_near_dup_pairs -> embedding_cluster_score (duplicate_ratio
+#                             consumes the same exact-cosine pair kernel and
+#                             reports dup_ratio per vector)
+_GATE_TAIL = [
+    "quality_keep",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_band_keys",
+    "simhash",
+    "ann_lsh_buckets",
+    "ivf_cells",
+    "ngram_lm_train",
+    "dedup_tokens",
+    "segment_sample",
+    "top_orders_by_revenue",
+    "doc_length_histogram",
+    "events_running_total",
+    "events_hourly",
+    "events_topk_users",
+    "embedding_near_dup_pairs",
+]
+assert set(_GATE_TAIL) <= set(QUERIES)
+_reordered = {k: v for k, v in QUERIES.items() if k not in _GATE_TAIL}
+_reordered.update({k: QUERIES[k] for k in _GATE_TAIL})
+QUERIES.clear()
+QUERIES.update(_reordered)
+del _reordered

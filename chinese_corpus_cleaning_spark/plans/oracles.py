@@ -524,6 +524,7 @@ group by r_name"""
     o.update(build_textanalysis_extra())
     o.update(build_round3())
     o.update(build_round4())
+    o.update(build_round5(o))
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -1374,3 +1375,80 @@ select vec_id::bigint as vec_id, neighbor_id::bigint as neighbor_id,
        round(cos_sim, 6) as cos_sim, rank::bigint as rank
 from r where rank <= 3"""
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_round5(merged: dict[str, str]) -> dict[str, str]:
+    """Round-5 oracles. Takes the already-built dict because two of these
+    reuse earlier SQL verbatim: the gopher composite embeds the full
+    quality_keep_full query and an UNDECORATED repetition_signals CTE; the
+    frontier rollup embeds the url_dedup canonicalization chain."""
+    from .catalog import _BOILERPLATE_DECOR
+    from ..operators.textanalysis import (
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_DUP_TRIGRAM_FRAC,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+    )
+
+    o: dict[str, str] = {}
+
+    # corpus-level boilerplate removal: DuckDB counts/filters on raw line
+    # strings where Spark uses md5 digests — equivalent membership, and the
+    # clean_text output is compared byte-for-byte. Decoration matches
+    # catalog._BOILERPLATE_DECOR; 0.3 forced ::double so the threshold
+    # product is the same IEEE value Spark's lit(0.3) * count produces.
+    o["boilerplate_removal"] = f"""
+with d as (select doc_id, {_BOILERPLATE_DECOR} as t from documents),
+lines as (
+  select unnest(list_distinct(list_filter(string_split(t, chr(10)),
+    x -> length(x) > 0))) as line
+  from d),
+freq as (select line, count(*) as df from lines group by line),
+tot as (select count(*) as n from d),
+bl as (
+  select coalesce(list(line), []) as bls
+  from freq cross join tot
+  where df >= ceil(0.3::double * n))
+select doc_id::bigint as doc_id,
+  array_to_string(list_filter(string_split(t, chr(10)),
+    x -> not list_contains(bls, x)), chr(10)) as clean_text,
+  (len(string_split(t, chr(10)))
+   - len(list_filter(string_split(t, chr(10)),
+       x -> not list_contains(bls, x))))::bigint
+    as n_lines_removed
+from d cross join bl"""
+
+    # gopher composite: repetition fractions over the RAW documents table
+    # (strip the %3 decoration CTE from the repetition_signals oracle), cuts
+    # applied to the 9-dp-rounded fractions exactly as gopher_pass_col does
+    rep = merged["repetition_signals"]
+    rep_undec = (
+        "with d as (select doc_id, text from documents),\n"
+        + rep[rep.index("lines as (") :]
+    )
+    cuts = (
+        f"rep.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}::double"
+        f" and rep.top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM_FRAC}::double"
+        f" and rep.dup_trigram_frac <= {GOPHER_MAX_DUP_TRIGRAM_FRAC}::double"
+    )
+    o["quality_keep_full_gopher"] = f"""
+with rep as ({rep_undec}),
+base as ({merged["quality_keep_full"]})
+select base.doc_id, rep.dup_line_frac, rep.top_bigram_frac,
+  rep.dup_trigram_frac,
+  ({cuts}) as gopher_pass,
+  base.keep_full,
+  (base.keep_full and {cuts}) as keep_gopher
+from base join rep on rep.doc_id = base.doc_id"""
+
+    # crawl frontier: url_dedup's canonicalization chain (same decoration)
+    # rolled up per host; n_unique derived with the same subtraction order
+    o["crawl_frontier_dedup"] = f"""
+with u as ({merged["url_dedup"]})
+select regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/?]+)', 1) as host,
+  count(*)::bigint as n_urls,
+  sum(case when is_duplicate_url then 1 else 0 end)::bigint as n_dup,
+  (count(*) - sum(case when is_duplicate_url then 1 else 0 end))::bigint
+    as n_unique
+from u
+group by 1"""
+    return o
