@@ -142,30 +142,62 @@ def lsh_candidate_pairs(
     through the pair shuffle dominated runtime in the first implementation).
     Pair order normalized (a < b).
 
-    ``max_band_bucket``: skip band buckets larger than this. A bucket of
-    size m yields m^2/2 candidate pairs, so one boilerplate cluster (the SEO
-    mill-page case) turns the join quadratic; exact dedup beforehand plus a
-    bucket cap is the standard LSH mitigation at web scale. None = uncapped
-    (the oracle-checked exact form)."""
+    ``max_band_bucket``: a bucket of size m yields m^2/2 candidate pairs, so
+    one boilerplate cluster (the SEO mill-page case) turns the join
+    quadratic; exact dedup beforehand plus a bucket cap is the standard LSH
+    mitigation at web scale. Buckets larger than the cap are NOT skipped
+    outright (the pre-round-5 behaviour — it orphaned every doc whose only
+    collisions sat in oversized buckets, the measured bulk of the cap's
+    recall loss): they degrade to STAR candidates — min-id hub vs every
+    member, m-1 pairs instead of m^2/2 — so a giant near-dup clique stays
+    one connected component through the est-Jaccard filter at linear cost
+    (members not est-similar to the hub specifically can still lose edges —
+    the residual approximation). Measured at 100k gen docs
+    (BENCH/band_geometry_ab.py): cap 64 + star finds 22,394 of cap-256's
+    22,700 duplicates (-1.35%) with 4.5x fewer candidates and ~4x lower
+    wall; star recovers +37 dups over plain skipping at the same cost. The
+    rejected alternative — widening bands to 16 rows (128/8) — cut the same
+    candidate volume but cost -3.8% duplicates, because it flattens the
+    whole recall curve (P(candidate | J=0.85) drops 0.99 -> 0.46) instead
+    of approximating only inside dense buckets. None = uncapped (the
+    oracle-checked exact form)."""
     exploded = signed.select(
         F.col(id_col).alias("id"), F.explode("band_keys").alias("band_key")
     )
-    if max_band_bucket is not None:
-        ok = (
-            exploded.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") <= max_band_bucket)
-            .select("band_key")
+    if max_band_bucket is None:
+        left = exploded.alias("l")
+        right = exploded.alias("r")
+        return (
+            left.join(right, on="band_key")
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
         )
-        exploded = exploded.join(ok, "band_key")
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (
-        left.join(right, on="band_key")
+    sizes = exploded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    small = exploded.join(
+        sizes.where(F.col("_bsz") <= max_band_bucket).select("band_key"),
+        "band_key",
+    )
+    pairs = (
+        small.alias("l")
+        .join(small.alias("r"), on="band_key")
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    big_rows = exploded.join(
+        sizes.where(F.col("_bsz") > max_band_bucket).select("band_key"),
+        "band_key",
+    )
+    # star: hub = min id per oversized bucket; hub < member by construction
+    star = (
+        big_rows.join(
+            big_rows.groupBy("band_key").agg(F.min("id").alias("_hub")),
+            "band_key",
+        )
+        .where(F.col("id") != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return pairs.union(star).distinct()
 
 
 def minhash_similarity_pairs(
@@ -622,7 +654,7 @@ def dedup_edges(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_bucket: int | None = 256,
+    max_band_bucket: int | None = 64,
 ) -> DataFrame:
     """The duplicate-graph edge list feeding connected_components: exact
     edges (member -> md5-group representative) unioned with banded-LSH
@@ -662,7 +694,7 @@ def dedup_representatives(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_band_bucket: int | None = 256,
+    max_band_bucket: int | None = 64,
 ) -> DataFrame:
     """Full near-dup stage: (id, component, is_duplicate). Representative =
     min id per component (clustering.py:169-207 semantics re-expressed:

@@ -255,3 +255,25 @@ def test_cc_distributed_path_matches_driver_path(spark):
     drv = {r["id"]: r["comp"] for r in dedup._cc_driver(edges).collect()}
     assert dist == drv
     assert dist[5] == 1 and dist[12] == 10 and dist[21] == 20
+
+
+def test_oversized_bucket_degrades_to_star_not_skip(spark):
+    """With a cap smaller than a near-dup clique's bucket size, the bucket
+    must contribute min-id-hub star candidates (keeping the clique one
+    component) instead of being skipped outright (round-5 star rescue)."""
+    base = "机器学习模型的训练需要大量高质量的语料数据支持" * 6
+    fam = [(f"d{i:02d}", base + f"尾部{i}") for i in range(6)]
+    lone = [("z1", "完全无关的另一篇文档内容讲述不同的主题领域" * 8)]
+    df = spark.createDataFrame(fam + lone, "doc_id string, text string")
+    signed = dedup.with_minhash(df)
+    capped = dedup.lsh_candidate_pairs(signed, max_band_bucket=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # every family member reaches the hub d00 through some bucket's star
+    assert {("d00", f"d{i:02d}") for i in range(1, 6)} <= pairs
+    # lone doc shares no bucket -> no candidates
+    assert not any("z1" in p for p in pairs)
+    # end-to-end: the family still collapses to one component under the cap
+    reps = dedup.dedup_representatives(df, max_band_bucket=2)
+    comp = {r["id"]: r["component"] for r in reps.collect()}
+    assert len({comp[f"d{i:02d}"] for i in range(6)}) == 1
+    assert comp["z1"] != comp["d00"]
