@@ -4,7 +4,7 @@ time (driver-CC serial; see BENCH/BASELINE.md round-3 notes). Unlike
 dedup_breakdown.py (2-level Amdahl over mirrored phases), this times the
 exact code path the probes run, plus the CC sub-steps and candidate counts.
 
-Usage: python BENCH/dedup_phase_diag.py [cpus] [n_docs]; prints one JSON line.
+Usage: python BENCH/dedup_phase_diag.py [cpus] [n_docs] [cap]; prints one JSON line.
 """
 
 from __future__ import annotations
@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(cpus: int, n_docs: int) -> None:
+def main(cpus: int, n_docs: int, cap: int = 256) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -82,7 +82,7 @@ def main(cpus: int, n_docs: int) -> None:
     )
     pairs = timed(
         "lsh_band_join",
-        lambda: dedup.lsh_candidate_pairs(signed, "id", 256).localCheckpoint(
+        lambda: dedup.lsh_candidate_pairs(signed, "id", cap).localCheckpoint(
             eager=True
         ),
     )
@@ -126,6 +126,7 @@ def main(cpus: int, n_docs: int) -> None:
             {
                 "cpus": cpus,
                 "n_docs": n_docs,
+                "cap": cap,
                 "n_reps": reps.count(),
                 "n_cand": n_cand,
                 "n_near": near.count(),
@@ -142,4 +143,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 8,
         int(sys.argv[2]) if len(sys.argv) > 2 else 400_000,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 256,
     )

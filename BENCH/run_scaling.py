@@ -89,8 +89,17 @@ def main() -> None:
         "```",
     ]
     path = os.path.join(HERE, "BASELINE.md")
+    # preserve the accumulated per-round measurement notes: only the header
+    # + tables section (everything before the first "## Measurement notes")
+    # is regenerated
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "## Measurement notes"
+        if marker in old:
+            tail = "\n" + old[old.index(marker) :]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(json.dumps({"n_docs": n_docs, "efficiency": effs}))
     print(f"wrote {path}")
 
