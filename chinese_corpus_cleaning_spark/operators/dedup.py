@@ -133,6 +133,7 @@ def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str = "doc_id",
     max_band_bucket: int | None = None,
+    n_hubs: int = 4,
 ) -> DataFrame:
     """Banded LSH: explode band keys, self-join on key, dedupe pairs.
 
@@ -152,10 +153,12 @@ def lsh_candidate_pairs(
     member, m-1 pairs instead of m^2/2 — so a giant near-dup clique stays
     one connected component through the est-Jaccard filter at linear cost
     (members not est-similar to the hub specifically can still lose edges —
-    the residual approximation). Measured at 100k gen docs
-    (BENCH/band_geometry_ab.py): cap 64 + star finds 22,394 of cap-256's
-    22,700 duplicates (-1.35%) with 4.5x fewer candidates and ~4x lower
-    wall; star recovers +37 dups over plain skipping at the same cost. The
+    the residual approximation; ``n_hubs`` hash-class hubs give each member
+    that many est-match chances, no per-bucket sort so skew-safe). Measured
+    (BENCH/band_geometry_ab.py + BASELINE.md round-5 notes): at 100k docs
+    cap 64 finds 22,445 (4-hub) / 22,394 (1-hub) / 22,357 (skip) of
+    cap-256's 22,700 duplicates with ~4.5x fewer candidates; at 1.6M docs
+    4-hub recovers 66% of the 1-hub cap's -7.4% recall gap (-2.5% net). The
     rejected alternative — widening bands to 16 rows (128/8) — cut the same
     candidate volume but cost -3.8% duplicates, because it flattens the
     whole recall curve (P(candidate | J=0.85) drops 0.99 -> 0.46) instead
@@ -173,10 +176,16 @@ def lsh_candidate_pairs(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
+    # ONE size-annotate join, then filters: annotating every exploded row
+    # with its bucket size and branching with where() lets AQE reuse the
+    # single band_key exchange across the small-pair self-join, the hub
+    # aggregation and the star join (the previous two-semi-join shape
+    # shuffled the exploded table once per branch — lsh_band_join was the
+    # worst-scaling phase at 1.6M, eff 0.41, BENCH round-5 notes)
     sizes = exploded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
-    small = exploded.join(
-        sizes.where(F.col("_bsz") <= max_band_bucket).select("band_key"),
-        "band_key",
+    annotated = exploded.join(sizes, "band_key")
+    small = annotated.where(F.col("_bsz") <= max_band_bucket).select(
+        "band_key", "id"
     )
     pairs = (
         small.alias("l")
@@ -184,18 +193,29 @@ def lsh_candidate_pairs(
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
-    big_rows = exploded.join(
-        sizes.where(F.col("_bsz") > max_band_bucket).select("band_key"),
-        "band_key",
+    big_rows = annotated.where(F.col("_bsz") > max_band_bucket).select(
+        "band_key", "id"
     )
-    # star: hub = min id per oversized bucket; hub < member by construction
-    star = (
-        big_rows.join(
-            big_rows.groupBy("band_key").agg(F.min("id").alias("_hub")),
-            "band_key",
+    # K-hub star: K deterministic hubs per oversized bucket (min id within
+    # each of K content-hash classes — no per-bucket sort, so a million-row
+    # boilerplate bucket never pins one reducer), every member joined to all
+    # K hubs (K*m pairs, linear). K chances for a member to est-match a hub
+    # instead of 1: measured at 1.6M docs this recovers the bulk of the
+    # single-hub cap's recall loss (BENCH/BASELINE.md round-5 notes).
+    hubs = (
+        big_rows.groupBy(
+            "band_key", F.pmod(F.xxhash64("id"), F.lit(n_hubs)).alias("_c")
         )
+        .agg(F.min("id").alias("_hub"))
+        .select("band_key", "_hub")
+    )
+    star = (
+        big_rows.join(hubs, "band_key")
         .where(F.col("id") != F.col("_hub"))
-        .select(F.col("_hub").alias("id_a"), F.col("id").alias("id_b"))
+        .select(
+            F.least("_hub", "id").alias("id_a"),
+            F.greatest("_hub", "id").alias("id_b"),
+        )
     )
     return pairs.union(star).distinct()
 
