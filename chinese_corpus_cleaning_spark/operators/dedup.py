@@ -282,6 +282,13 @@ def minhash_similarity_pairs(
     # candidates -> 1.56M survivors at 1.6M docs) and die on the 32-slot
     # comparison; the AND short-circuits, so the full 128-slot zip_with
     # runs only on prefix survivors. Output set provably unchanged.
+    # The interpreted-lambda form is KEPT on measurement (CLAUDE.md doctrine:
+    # measure, don't guess): BENCH/estjac_udf_bench.py — relational min
+    # 11.5 s vs Arrow+numpy pandas UDF 15.1 s at 400k docs / 5.25M
+    # candidates @ local[8], identical output. The prefix prune
+    # short-circuits most candidates JVM-side; the UDF must pay Arrow
+    # transfer of both full signatures for every pair, and (1.6M phase
+    # table, BENCH/BASELINE.md) the JVM form already scales at eff 1.00.
     nh = cfg.num_hashes
     k_min = next(k for k in range(nh + 1) if k / nh >= cfg.similarity_threshold)
     prefix = min(32, nh)
