@@ -79,6 +79,15 @@ def main() -> None:
         "",
         "efficiency = (T_N / T_4N) / 4 — 1.0 is perfect linear scaling.",
         "",
+        "NOTE on the dedup ratio at this input size: the round-5 candidate",
+        "cut (bucket cap 64 + star rescue) removed most of the parallel join",
+        "work, which LOWERS the fixed-N 2->8 ratio while lowering wall at",
+        "every level — the efficiency-ratio trap documented in the round-3",
+        "notes. The scale-representative reading is the 1.6M-doc clean-window",
+        "A/B in the round-5 measurement notes below: eff 2->8 = 0.700 with",
+        "this same production config, walls 1.67x/1.73x below the round-4",
+        "code at local[2]/local[8].",
+        "",
         "Reference single-thread baseline (BASELINE.md): 77.08 records/s for",
         "WARC scan + HTML strip + fastText langid (single process, real CC",
         "pages). The `extract_langid` stage above is the comparable shape.",

@@ -121,15 +121,20 @@ def simhash60_batch(
     slower). Per-doc ones-counts come from prefix-sum differences at
     segment ends; sign(2*ones - n) packs back to 60 bits. Token md5s stay a
     Python loop (hashlib has no batch API) but are cached per UNIQUE token
-    across the chunk — Zipf makes that a large cut on real text. Chunked at
-    ``chunk_tokens`` so the int32 prefix matrix stays ~64 MB. Returns an
-    int64 ndarray (A/B vs the per-doc loop: BENCH/simhash_udf_bench.py)."""
+    within each chunk — Zipf makes that a large cut on real text. Memory is
+    bounded PER CHUNK, not per Arrow batch: token counts come from a
+    ``count(' ')`` scan (exactly ``len(split(' '))`` since the separator is
+    explicit), token lists materialize only transiently inside the chunk's
+    comprehension, and the md5 cache resets per chunk (<= ``chunk_tokens``
+    live entries) — so a large maxRecordsPerBatch cannot inflate the
+    worker's footprint beyond one chunk. Chunked at ``chunk_tokens`` so the
+    int32 prefix matrix stays ~64 MB. Returns an int64 ndarray (A/B vs the
+    per-doc loop: BENCH/simhash_udf_bench.py)."""
     import numpy as np
 
     cache: dict[str, int] = {}
-    toks_per = [(t or "").split(" ") for t in texts]
     counts = np.fromiter(
-        (len(ts) for ts in toks_per), dtype=np.int64, count=len(toks_per)
+        ((t or "").count(" ") + 1 for t in texts), dtype=np.int64, count=len(texts)
     )
     out = np.empty(len(texts), dtype=np.int64)
     bitpos = np.arange(64, dtype=np.uint64)
@@ -139,7 +144,12 @@ def simhash60_batch(
         while j < len(texts) and (budget == 0 or budget + counts[j] <= chunk_tokens):
             budget += counts[j]
             j += 1
-        flat = [cache.setdefault(tok, h60(tok)) for ts in toks_per[i:j] for tok in ts]
+        cache.clear()
+        flat = [
+            cache.setdefault(tok, h60(tok))
+            for t in texts[i:j]
+            for tok in (t or "").split(" ")
+        ]
         hs = np.array(flat, dtype=np.uint64)
         b_t8 = np.ascontiguousarray(hs.view(np.uint8).reshape(-1, 8).T)
         bits = np.unpackbits(b_t8, axis=0, bitorder="little")  # (64, n_tok)

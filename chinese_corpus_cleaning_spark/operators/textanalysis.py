@@ -404,7 +404,6 @@ def url_dedup(
 
 def boilerplate_lines(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int | None = None,
     min_doc_frac: float | None = None,
@@ -415,6 +414,8 @@ def boilerplate_lines(
     driver round-trip). This is the cross-document generalization of the
     reference's per-file line dedup (clear_redundancy.py:172-190): nav/
     footer boilerplate repeats across MANY documents, not within one.
+    No id column is needed: each input row IS one document, so
+    ``array_distinct`` per row already gives per-document line distinctness.
 
     Scale shape: per-doc DISTINCT lines explode map-side and are digested
     BEFORE the shuffle — only (md5, count) partials cross the wire, never
@@ -462,7 +463,7 @@ def remove_boilerplate(
     (O(|set|) interpreted-lambda scan per line): fine for the bounded
     nav/footer sets the frequency threshold admits; for a pathologically
     large set, raise the threshold or run per-host."""
-    bl = boilerplate_lines(docs, id_col, text_col, min_docs, min_doc_frac).agg(
+    bl = boilerplate_lines(docs, text_col, min_docs, min_doc_frac).agg(
         F.collect_set("line_md5").alias("__bl")
     )
     parts = f"split({text_col}, '\\n')"
@@ -515,12 +516,17 @@ def crawl_frontier_dedup(
     (host, n_urls, n_unique, n_dup) — the one-pass shape a crawl frontier
     needs (which URLs are new, per host, with hot hosts spread).
 
-    Two skew regimes, two mitigations: the dedup groupBy keys on
-    ``canon_url`` (high-cardinality — no hot key by construction); the
-    host rollup keys on ``host``, where one hot host can carry ~30% of a
-    crawl, so phase 1 aggregates on (host, salt) with a content-derived
-    salt (pmod(xxhash64(canon_url))) — deterministic under retries — and
-    phase 2 merges the ``salt_buckets`` partials per host."""
+    Two skew regimes: the dedup groupBy keys on ``canon_url``
+    (high-cardinality — no hot key by construction); the host rollup keys
+    on ``host``, where one hot host can carry ~30% of a crawl. For the
+    count/sum columns here, map-side partial aggregation ALREADY bounds the
+    hot-host reducer (each task ships at most one partial row per host), so
+    the (host, salt) two-phase shape is not load-bearing for these
+    algebraic aggregates — it is the extension-point pattern for per-host
+    state partials cannot collapse (collect_list URL samples, exact
+    distinct), costs only one extra exchange of ``salt_buckets`` x n_hosts
+    partial rows, and uses a content-derived salt
+    (pmod(xxhash64(canon_url))) that is deterministic under retries."""
     dd = url_dedup(docs, id_col, url_col)
     hosted = dd.select(
         F.regexp_extract(

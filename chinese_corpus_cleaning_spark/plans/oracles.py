@@ -528,21 +528,11 @@ group by r_name"""
     return {k: v.strip() for k, v in o.items()}
 
 
-def build_round4() -> dict[str, str]:
-    """Gopher-style repetition quality signals (operators/textanalysis.
-    repetition_signals). The decoration (doc_id%3 arms) matches
-    catalog.q_repetition_signals; fraction arithmetic is a single double
-    division in both engines (bit-identical), rounded to 9."""
-    o: dict[str, str] = {}
-    o["repetition_signals"] = """
-with d as (
-  select doc_id,
-    case when doc_id % 3 = 0 then replace(text, ' ', chr(10))
-         when doc_id % 3 = 1 then text || chr(10) || substr(text, 1, 30)
-                                  || chr(10) || substr(text, 1, 30)
-         else text end as text
-  from documents),
-lines as (
+# Shared by the decorated repetition_signals oracle (build_round4) and the
+# undecorated CTE embedded in the gopher composite (build_round5): the whole
+# query minus the leading `d` CTE. Both callers prepend their own `d`
+# definition — no string-slicing coupling between the two oracles.
+_REPETITION_BODY = """lines as (
   select doc_id,
     unnest(list_filter(string_split(text, chr(10)), x -> length(x) > 0)) as line
   from d),
@@ -582,6 +572,26 @@ from documents dd
 left join ls on ls.doc_id = dd.doc_id
 left join bs on bs.doc_id = dd.doc_id
 left join ts on ts.doc_id = dd.doc_id"""
+
+
+def build_round4() -> dict[str, str]:
+    """Gopher-style repetition quality signals (operators/textanalysis.
+    repetition_signals). The decoration (doc_id%3 arms) matches
+    catalog.q_repetition_signals; fraction arithmetic is a single double
+    division in both engines (bit-identical), rounded to 9."""
+    o: dict[str, str] = {}
+    o["repetition_signals"] = (
+        """
+with d as (
+  select doc_id,
+    case when doc_id % 3 = 0 then replace(text, ' ', chr(10))
+         when doc_id % 3 = 1 then text || chr(10) || substr(text, 1, 30)
+                                  || chr(10) || substr(text, 1, 30)
+         else text end as text
+  from documents),
+"""
+        + _REPETITION_BODY
+    )
 
     # decoration matches catalog._URL_DECOR verbatim ('string' is a DuckDB
     # alias for varchar); regexes are anchor + literal-class only, identical
@@ -1417,13 +1427,12 @@ select doc_id::bigint as doc_id,
     as n_lines_removed
 from d cross join bl"""
 
-    # gopher composite: repetition fractions over the RAW documents table
-    # (strip the %3 decoration CTE from the repetition_signals oracle), cuts
-    # applied to the 9-dp-rounded fractions exactly as gopher_pass_col does
-    rep = merged["repetition_signals"]
+    # gopher composite: repetition fractions over the RAW documents table —
+    # the shared _REPETITION_BODY with an undecorated `d` CTE (no %3
+    # decoration), cuts applied to the 9-dp-rounded fractions exactly as
+    # gopher_pass_col does
     rep_undec = (
-        "with d as (select doc_id, text from documents),\n"
-        + rep[rep.index("lines as (") :]
+        "with d as (select doc_id, text from documents),\n" + _REPETITION_BODY
     )
     cuts = (
         f"rep.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}::double"
