@@ -480,6 +480,90 @@ def remove_boilerplate(
     )
 
 
+# ------------------------------------------------- cross-doc span duplication
+
+
+def cross_doc_span_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    mod_p: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN signal — the substring-level dedup
+    modality between line-level (remove_boilerplate) and whole-doc
+    (MinHash/SimHash): documents sharing long verbatim passages with OTHER
+    documents score high even when no full line and no whole doc repeats
+    (the phenomenon Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", targets with ExactSubstr).
+
+    Returns (id, n_fingerprints, n_dup_fingerprints, dup_span_frac) for
+    EVERY input doc. Fingerprints are Manber-style mod-p selections
+    (Manber 1994, "Finding Similar Files"): the h60 hashes of all char
+    k-grams, keeping those with h % mod_p == 0 — content-defined, so a
+    shared substring is fingerprinted IDENTICALLY in every doc containing
+    it regardless of its offset (a stride-aligned windowing would miss
+    unaligned copies). A shared span of s chars is detected with
+    probability 1 - (1 - 1/p)^(s-k+1) (~99.7% for s=100 at the defaults);
+    expected fingerprint density is 1/mod_p per char, so the exploded
+    fingerprint table is ~len/16 slim (id, int64) rows — the only thing
+    that ever shuffles. dup_span_frac is the fraction of a doc's DISTINCT
+    fingerprints that appear in >= min_docs distinct documents. Docs
+    shorter than k fall back to one whole-text gram (the shingle_explode
+    convention), so byte-identical short docs — including empty ones, whose
+    single empty-gram hash happens to pass the p=16 selection — match each
+    other; NULL text yields a zero-fingerprint row.
+
+    A suffix-array ExactSubstr (exact longest-match spans) is a different
+    cost class entirely (Lee et al. run it as a dedicated single-node
+    tool); this relational fingerprint form is the Spark-native screen for
+    the same signal. The k-gram hash expression is byte-identical to
+    fingerprint_winnow's (md5 prefix via conv) for cross-engine oracle
+    parity. The doc-frequency and the per-doc rollup both derive from one
+    exploded (id, fp) table; at scale, localCheckpoint that table to scan
+    text once — declaratively it is recomputed per consumer."""
+    fps_expr = (
+        f"array_distinct(filter(transform("
+        f"sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> cast(conv(substring(md5(substring({text_col}, i, {k})),"
+        f" 1, 15), 16, 10) as bigint)), h -> h % {mod_p} = 0))"
+    )
+    base = docs.select(F.col(id_col).alias("id"), F.expr(fps_expr).alias("__fps"))
+    ex = base.select("id", F.explode("__fps").alias("fp"))
+    # per-doc-distinct fingerprints make a plain count() the distinct-doc
+    # frequency (same trick as boilerplate_lines)
+    freq = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    marked = ex.join(freq, "fp").select(
+        "id", (F.col("df") >= F.lit(min_docs)).cast("long").alias("dup")
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum("dup").alias("n_dup_fingerprints"),
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_fingerprints", F.lit(0))
+            .cast("bigint")
+            .alias("n_fingerprints"),
+            F.coalesce("n_dup_fingerprints", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_fingerprints"),
+            F.when(
+                F.coalesce("n_fingerprints", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_fingerprints") / F.col("n_fingerprints"), 9
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
 # ------------------------------------------------------ Gopher quality cuts
 
 # Published Gopher repetition thresholds (Rae et al. 2021, table A1): a doc

@@ -1276,6 +1276,45 @@ QUERIES["quality_keep_full_gopher"] = q_quality_keep_full_gopher
 QUERIES["crawl_frontier_dedup"] = q_crawl_frontier_dedup
 
 
+# Shared-passage decoration for the span-dup gate query: the SAME ~115-char
+# paragraph lands appended (doc_id%3==0) or PREPENDED (doc_id%3==1) — i.e.
+# at a different character offset in every doc — so the query also proves
+# the mod-p selection's alignment robustness (a stride-aligned windowing
+# would find nothing here).
+_SPAN_DECOR = (
+    "case when doc_id % 3 = 0 then text || ' ' || "
+    "'this promotional passage repeats verbatim across many pages of the"
+    " crawl and span fingerprints must catch it at any offset' "
+    "when doc_id % 3 = 1 then "
+    "'this promotional passage repeats verbatim across many pages of the"
+    " crawl and span fingerprints must catch it at any offset' || ' ' || text "
+    "else text end"
+)
+
+
+def q_cross_doc_span_dup(spark, sf_dir):
+    """Cross-document duplicate-span signal (operators/textanalysis.
+    cross_doc_span_dup): Manber mod-p fingerprints of char 16-grams,
+    doc-frequency >= 2 marks a span duplicated across documents — the
+    substring-level modality between boilerplate lines and whole-doc
+    MinHash (Lee et al. 2021 ExactSubstr motivation). Decoration plants one
+    shared paragraph at a DIFFERENT offset per doc (append vs prepend)."""
+    from ..operators.textanalysis import cross_doc_span_dup
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPAN_DECOR).alias("text")
+    )
+    return cross_doc_span_dup(d).select(
+        F.col("doc_id").cast("bigint"),
+        "n_fingerprints",
+        "n_dup_fingerprints",
+        "dup_span_frac",
+    )
+
+
+QUERIES["cross_doc_span_dup"] = q_cross_doc_span_dup
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1310,7 +1349,14 @@ QUERIES["crawl_frontier_dedup"] = q_crawl_frontier_dedup
 #   embedding_near_dup_pairs -> embedding_cluster_score (duplicate_ratio
 #                             consumes the same exact-cosine pair kernel and
 #                             reports dup_ratio per vector)
+# round-5 late demotion (admitting cross_doc_span_dup into the window):
+#   orders_rollup          -> lineitem_pricing_summary + part_supplier_revenue
+#                             (the relational family keeps its two richer
+#                             TPC-H shapes: Q1 agg battery and the 3-way
+#                             join+rollup; orders_rollup is a plain
+#                             groupBy(status).agg subset of both)
 _GATE_TAIL = [
+    "orders_rollup",
     "quality_keep",
     "ngram_jaccard_pairs",
     "minhash_signatures",

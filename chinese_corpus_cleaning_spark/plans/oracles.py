@@ -1392,7 +1392,7 @@ def build_round5(merged: dict[str, str]) -> dict[str, str]:
     reuse earlier SQL verbatim: the gopher composite embeds the full
     quality_keep_full query and an UNDECORATED repetition_signals CTE; the
     frontier rollup embeds the url_dedup canonicalization chain."""
-    from .catalog import _BOILERPLATE_DECOR
+    from .catalog import _BOILERPLATE_DECOR, _SPAN_DECOR
     from ..operators.textanalysis import (
         GOPHER_MAX_DUP_LINE_FRAC,
         GOPHER_MAX_DUP_TRIGRAM_FRAC,
@@ -1400,6 +1400,28 @@ def build_round5(merged: dict[str, str]) -> dict[str, str]:
     )
 
     o: dict[str, str] = {}
+
+    # cross-doc span dup: the h60 k-gram hash pairing (Spark conv-of-md5 /
+    # DuckDB hex-cast) is the proven fingerprint_winnow primitive; mod-p
+    # selection and the distinct-per-doc -> plain-count doc-frequency trick
+    # mirror the operator exactly (k=16, p=16, min_docs=2 defaults)
+    o["cross_doc_span_dup"] = f"""
+with d as (select doc_id, {_SPAN_DECOR} as text from documents),
+f as (select doc_id, list_distinct(list_filter(
+    list_transform(generate_series(1, greatest(length(text) - 15, 1)),
+      i -> (('0x' || substr(md5(substr(text, i, 16)), 1, 15))::bigint)),
+    h -> h % 16 = 0)) as fps from d),
+ex as (select doc_id, unnest(fps) as fp from f),
+fr as (select fp, count(*) as df from ex group by fp),
+mk as (select ex.doc_id, case when fr.df >= 2 then 1 else 0 end as dup
+       from ex join fr on fr.fp = ex.fp),
+pd as (select doc_id, count(*) as nf, sum(dup) as nd from mk group by doc_id)
+select d.doc_id::bigint as doc_id,
+  coalesce(pd.nf, 0)::bigint as n_fingerprints,
+  coalesce(pd.nd, 0)::bigint as n_dup_fingerprints,
+  case when coalesce(pd.nf, 0) > 0 then round(pd.nd::double / pd.nf, 9)
+       else 0.0 end as dup_span_frac
+from d left join pd on pd.doc_id = d.doc_id"""
 
     # corpus-level boilerplate removal: DuckDB counts/filters on raw line
     # strings where Spark uses md5 digests — equivalent membership, and the

@@ -140,3 +140,73 @@ def test_crawl_frontier_matches_direct_and_salts_hot_host(spark):
     # the partial (host, salt) aggregate must appear before the host-only one
     agg_lines = [ln for ln in plan.splitlines() if "Keys" in ln and "host" in ln]
     assert any("salt" in ln for ln in agg_lines), plan
+
+
+# ------------------------------------------------- cross-doc span duplication
+
+
+SHARED = (
+    "the quick brown fox jumps over the lazy dog while the band plays on"
+    " and the crowd cheers loudly for more verses of the song"
+)
+
+
+def test_span_dup_detects_shared_passage_at_any_offset(spark):
+    """The same passage embedded at DIFFERENT offsets (prefix, middle,
+    suffix) must be detected in every carrier — the alignment-robustness
+    property stride-windowing lacks; a doc without it scores 0."""
+    rows = [
+        ("a", SHARED + " unique ending for document alpha here"),
+        ("b", "totally different opening for beta " + SHARED),
+        ("c", "gamma starts here " + SHARED + " and gamma ends here"),
+        ("d", "delta shares nothing with the others and talks about"
+              " completely unrelated topics in its own distinct words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in ta.cross_doc_span_dup(df).collect()}
+    for i in ("a", "b", "c"):
+        assert out[i]["n_dup_fingerprints"] > 0, i
+        assert out[i]["dup_span_frac"] > 0.0
+    assert out["d"]["n_dup_fingerprints"] == 0
+    assert out["d"]["dup_span_frac"] == 0.0
+    # every doc long enough to carry fingerprints has some
+    assert all(out[i]["n_fingerprints"] > 0 for i in "abcd")
+
+
+def test_span_dup_min_docs_threshold(spark):
+    """min_docs above the carrier count suppresses the signal."""
+    rows = [("a", SHARED + " tail a"), ("b", SHARED + " tail b")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    hot = ta.cross_doc_span_dup(df, min_docs=2).collect()
+    cold = ta.cross_doc_span_dup(df, min_docs=3).collect()
+    assert any(r["n_dup_fingerprints"] > 0 for r in hot)
+    assert all(r["n_dup_fingerprints"] == 0 for r in cold)
+
+
+def test_span_dup_short_empty_null_text(spark):
+    """len<k docs fall back to a single whole-text gram, so byte-identical
+    short docs match each other. Empty text is the degenerate case of that
+    fallback: ONE empty-gram fingerprint (md5('')'s h60 happens to be
+    selected at p=16 — deterministic, engine-identical), so two empty docs
+    count as mutual duplicates. NULL text yields a zero-fingerprint row
+    (never dropped)."""
+    rows = [("s1", "tiny"), ("s2", "tiny"), ("e", ""), ("n", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in ta.cross_doc_span_dup(df).collect()}
+    assert set(out) == {"s1", "s2", "e", "n"}
+    assert out["s1"]["n_dup_fingerprints"] == out["s2"]["n_dup_fingerprints"]
+    assert out["e"]["n_fingerprints"] == 1  # the empty whole-text gram
+    assert out["e"]["n_dup_fingerprints"] == 0  # only one empty doc here
+    assert out["n"]["n_fingerprints"] == 0
+    assert out["n"]["dup_span_frac"] == 0.0
+
+
+def test_span_dup_no_text_shuffle(spark):
+    """Only slim (id, fp) rows shuffle: no Exchange carries the text col."""
+    rows = [("a", SHARED), ("b", SHARED)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    plan = _explained(ta.cross_doc_span_dup(df))
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
