@@ -1,0 +1,87 @@
+"""Deterministic stratified sampling — training-mix curation.
+
+A training-data pipeline rarely consumes a cleaned corpus whole: the mix is
+curated per stratum (source x language, quality band, domain), with a quota
+per cell. Spark's `sampleBy` gives *Bernoulli* fractions — nondeterministic
+row counts, seed-and-partitioning dependent. This operator gives the other
+contract curation needs: an EXACT per-stratum quota, fully deterministic
+(same corpus -> same sample, independent of partitioning, retries, or
+cluster size), because the "random" order is a content hash (md5-derived
+h60 of the document id — the repo's proven cross-engine primitive,
+operators/dedup._h60_sql) rather than an RNG stream.
+
+Scale shape (the reason this is not one `Window.partitionBy(stratum)`):
+a plain per-stratum window ships EVERY row of a stratum to one task — a
+hot stratum (one language dominating a crawl) becomes a single-reducer
+straggler at 100 TB. Two phases instead:
+
+  1. local top-k per (stratum, salt): salt = pmod(xxhash64(id), B) is
+     content-derived (deterministic under retries, CLAUDE.md doctrine);
+     each first-phase group is ~1/B of the hottest stratum, and its output
+     is bounded at k rows.
+  2. global top-k per stratum over the <= B*k surviving rows per stratum —
+     trivially small regardless of corpus size.
+
+min-k of a total order is associative, so the two-phase sample SET is
+identical to the naive single-window form (test-asserted, and invariant to
+``salt_buckets``). Ties cannot occur: the order key is (h60(id), id) and
+id is unique per row.
+
+The reference has no sampling stage (its segment sampler, clear_quality.py,
+samples WITHIN a document for perplexity — P7, functions/cleaning.py);
+this is corpus-level curation beyond the reference, per the build brief.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _h60_sql
+
+__all__ = ["stratified_sample"]
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_cols: Sequence[str] = ("source", "lang"),
+    k: int = 3,
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically.
+
+    Returns the input columns plus ``sample_rank`` (1..k within each
+    stratum, dense from 1, in h60-of-id order). Rank 1 of each stratum is
+    a stable "representative document" for inspection dashboards; taking
+    ``sample_rank <= j`` for any j <= k is itself a valid smaller quota
+    sample (prefix-stability — an RNG-based sampler does not have this).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
+    strata = [F.col(c) for c in stratum_cols]
+    h = F.expr(_h60_sql(f"cast({id_col} as string)"))
+    base = (
+        docs.withColumn("__h", h)
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+    )
+    w_local = Window.partitionBy(*strata, F.col("__salt")).orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    survivors = (
+        base.withColumn("__r", F.row_number().over(w_local))
+        .where(F.col("__r") <= k)
+        .drop("__r", "__salt")
+    )
+    w_global = Window.partitionBy(*strata).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w_global))
+        .where(F.col("sample_rank") <= k)
+        .drop("__h")
+    )

@@ -1315,6 +1315,29 @@ def q_cross_doc_span_dup(spark, sf_dir):
 QUERIES["cross_doc_span_dup"] = q_cross_doc_span_dup
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum quota sample (operators/sampling.
+    stratified_sample): exactly min(3, |stratum|) docs per (source, lang)
+    cell, ordered by md5-h60 of the id — the training-mix curation op
+    (exact quotas + determinism, unlike Bernoulli sampleBy). The testdata
+    strata span sizes 2-10, so both the k-capped and the
+    smaller-than-k paths execute. Two-phase salted top-k inside the
+    operator; the sampled set is provably identical to the naive
+    single-window form the oracle expresses."""
+    from ..operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_sample(d, ("source", "lang"), k=3).select(
+        "source",
+        "lang",
+        F.col("doc_id").cast("bigint"),
+        F.col("sample_rank").cast("bigint"),
+    )
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1355,7 +1378,15 @@ QUERIES["cross_doc_span_dup"] = q_cross_doc_span_dup
 #                             TPC-H shapes: Q1 agg battery and the 3-way
 #                             join+rollup; orders_rollup is a plain
 #                             groupBy(status).agg subset of both)
+# round-5 late demotion (admitting stratified_sample into the window):
+#   dedup_exact            -> dedup_representatives (the md5-keyed exact
+#                             pass is its FIRST PHASE — exact-duplicate
+#                             groups surface as components and their
+#                             members as is_duplicate rows; the standalone
+#                             query re-checks the same hash-groupBy kernel
+#                             the pipeline's gated row already executes)
 _GATE_TAIL = [
+    "dedup_exact",
     "orders_rollup",
     "quality_keep",
     "ngram_jaccard_pairs",

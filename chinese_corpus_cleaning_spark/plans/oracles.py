@@ -1471,6 +1471,25 @@ select base.doc_id, rep.dup_line_frac, rep.top_bigram_frac,
   (base.keep_full and {cuts}) as keep_gopher
 from base join rep on rep.doc_id = base.doc_id"""
 
+    # stratified sample: the NAIVE single-window form — the operator's
+    # two-phase salted shape provably selects the identical set (min-k of a
+    # total order is associative; also test-asserted). h60 order key =
+    # md5-of-stringified-id via the standard hex-cast pairing; (hh, doc_id)
+    # ordering is tie-free because doc_id is unique.
+    o["stratified_sample"] = """
+with h as (
+  select source, lang, doc_id,
+    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint as hh
+  from documents),
+r as (
+  select source, lang, doc_id,
+    row_number() over (partition by source, lang order by hh, doc_id)
+      as sample_rank
+  from h)
+select source, lang, doc_id::bigint as doc_id,
+  sample_rank::bigint as sample_rank
+from r where sample_rank <= 3"""
+
     # crawl frontier: url_dedup's canonicalization chain (same decoration)
     # rolled up per host; n_unique derived with the same subtraction order
     o["crawl_frontier_dedup"] = f"""

@@ -210,3 +210,85 @@ def test_span_dup_no_text_shuffle(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+# ----------------------------------------------------- stratified sampling
+
+
+@pytest.fixture(scope="module")
+def strat_docs(spark):
+    """40 docs over strata sized 2, 5, 13, 20 — below, at, and far above
+    the k=3 quota."""
+    rows, i = [], 0
+    for src, n in (("a", 2), ("b", 5), ("c", 13), ("d", 20)):
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_stratified_sample_exact_quota_and_ranks(spark, strat_docs):
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(strat_docs, ("source",), k=3).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    # exactly min(k, |stratum|) rows, ranks dense from 1
+    assert sorted(by_src["a"]) == [1, 2]
+    for src in "bcd":
+        assert sorted(by_src[src]) == [1, 2, 3]
+
+
+def test_stratified_sample_two_phase_matches_naive_and_salt_invariant(
+    spark, strat_docs
+):
+    """The salted two-phase shape must select the identical set as the
+    naive single-window form (min-k associativity), for any salt_buckets."""
+    from pyspark.sql import Window
+
+    from chinese_corpus_cleaning_spark.operators.dedup import _h60_sql
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    w = Window.partitionBy("source").orderBy(F.col("__h"), F.col("doc_id"))
+    naive = (
+        strat_docs.withColumn(
+            "__h", F.expr(_h60_sql("cast(doc_id as string)"))
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 3)
+        .select("doc_id", "source", "sample_rank")
+    )
+    expect = sorted(map(tuple, naive.collect()))
+    for buckets in (1, 4, 16):
+        got = sorted(
+            map(
+                tuple,
+                stratified_sample(
+                    strat_docs, ("source",), k=3, salt_buckets=buckets
+                )
+                .select("doc_id", "source", "sample_rank")
+                .collect(),
+            )
+        )
+        assert got == expect, f"salt_buckets={buckets}"
+
+
+def test_stratified_sample_prefix_stability(spark, strat_docs):
+    """sample_rank <= j of a k-sample IS the j-sample (prefix property)."""
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    k3 = stratified_sample(strat_docs, ("source",), k=3)
+    k1 = stratified_sample(strat_docs, ("source",), k=1)
+    got = sorted(
+        map(tuple, k3.where(F.col("sample_rank") == 1).select(
+            "doc_id", "source").collect())
+    )
+    expect = sorted(map(tuple, k1.select("doc_id", "source").collect()))
+    assert got == expect
