@@ -145,3 +145,24 @@ def test_quality_pipeline_single_arrow_eval(spark):
     # numbered detail headers
     n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
     assert n_arrow == 1, plan
+
+
+def test_stratified_sample_two_bounded_exchanges(spark):
+    """The salted two-phase sample must cost exactly two hash exchanges —
+    (stratum, salt) for the bounded local top-k, then (stratum) over at
+    most buckets*k rows per stratum — and no global sort (a naive
+    orderBy-based top-k would show Exchange rangepartitioning)."""
+    import re
+
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    plan = _explained(stratified_sample(d, ("source",), k=2))
+    hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashed) == 2, hashed
+    assert any("__salt" in h for h in hashed)  # phase 1 keys on the salt
+    assert "rangepartitioning" not in plan  # no global sort anywhere
