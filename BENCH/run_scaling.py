@@ -105,8 +105,14 @@ def main() -> None:
     if os.path.exists(path):
         old = open(path).read()
         marker = "## Measurement notes"
-        if marker in old:
-            tail = "\n" + old[old.index(marker) :]
+        if marker not in old:
+            raise SystemExit(
+                f"{path} exists but lacks the '{marker}' heading — refusing "
+                "to overwrite (regeneration would silently drop the "
+                "accumulated per-round measurement notes; restore the "
+                "marker or delete the file first)"
+            )
+        tail = "\n" + old[old.index(marker) :]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + tail)
     print(json.dumps({"n_docs": n_docs, "efficiency": effs}))

@@ -194,7 +194,6 @@ class TextQualityFilter:
 
     def _read_dir(self, input_dir: str, file_pattern: str):
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StringType
 
         files = sorted(glob.glob(os.path.join(input_dir, file_pattern)))
         spark = self._session()
@@ -204,18 +203,24 @@ class TextQualityFilter:
         # input_file_name() returns a percent-encoded file URI; decode it so
         # os.path.basename reproduces the reference's basename(filepath)
         # contract for non-ASCII (e.g. Chinese) filenames and spaces.
-        @F.udf(StringType())
-        def _decode_path(p):
-            from urllib.parse import unquote, urlparse
-
-            return unquote(urlparse(p).path) if p else p
-
+        # Native-expr equivalent of urllib's unquote(urlparse(p).path):
+        # strip scheme+authority, protect literal '+' (url_decode is
+        # form-decoding and would turn it into a space), then url_decode.
+        decoded_path = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.input_file_name(), "^[a-z][a-z0-9+.-]*:(//[^/]*)?", ""
+                ),
+                r"\+",
+                "%2B",
+            )
+        )
         df = (
             spark.read.format("text")
             .option("wholetext", True)
             .load(files)
             .select(
-                _decode_path(F.input_file_name()).alias("path"),
+                decoded_path.alias("path"),
                 F.col("value").alias("text"),
             )
         )

@@ -150,7 +150,9 @@ def simhash60_batch(
             for t in texts[i:j]
             for tok in (t or "").split(" ")
         ]
-        hs = np.array(flat, dtype=np.uint64)
+        # '<u8' forces little-endian bytes so bit positions are host-order
+        # independent (a bare .view(np.uint8) would flip them on big-endian)
+        hs = np.array(flat, dtype="<u8")
         b_t8 = np.ascontiguousarray(hs.view(np.uint8).reshape(-1, 8).T)
         bits = np.unpackbits(b_t8, axis=0, bitorder="little")  # (64, n_tok)
         c = np.cumsum(bits, axis=1, dtype=np.int32)

@@ -454,7 +454,9 @@ def remove_boilerplate(
     """(id, clean_text, n_lines_removed): drop every line whose digest is in
     the boilerplate set, corpus-wide. Unique lines and empty lines survive
     verbatim (empty lines are excluded from frequency counting, so their
-    digest can never enter the set).
+    digest can never enter the set). NULL text is treated as '' (clean_text
+    '', n_lines_removed 0) — split(NULL) would otherwise propagate NULL
+    sizes whose difference is ANSI-mode-dependent.
 
     The boilerplate digest set is collapsed to a single array row and
     broadcast-crossJoined, so document text NEVER crosses a shuffle — the
@@ -466,7 +468,7 @@ def remove_boilerplate(
     bl = boilerplate_lines(docs, text_col, min_docs, min_doc_frac).agg(
         F.collect_set("line_md5").alias("__bl")
     )
-    parts = f"split({text_col}, '\\n')"
+    parts = f"split(coalesce({text_col}, ''), '\\n')"
     kept = f"filter({parts}, x -> not array_contains(__bl, md5(x)))"
     return (
         docs.crossJoin(F.broadcast(bl))
@@ -599,6 +601,11 @@ def crawl_frontier_dedup(
     """Per-host crawl-frontier rollup after canonical-URL dedup:
     (host, n_urls, n_unique, n_dup) — the one-pass shape a crawl frontier
     needs (which URLs are new, per host, with hot hosts spread).
+
+    The rollup key is the URL AUTHORITY (hostport): ``example.com:8080``
+    and ``example.com`` are distinct rows, matching politeness semantics
+    (a non-default port is a different server to rate-limit) and the
+    DuckDB oracle's identical extract.
 
     Two skew regimes: the dedup groupBy keys on ``canon_url``
     (high-cardinality — no hot key by construction); the host rollup keys

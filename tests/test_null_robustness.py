@@ -155,3 +155,24 @@ def test_perplexity_survives_nulls(spark, nullish):
 def test_empty_table_through_dedup(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.dedup_representatives(empty).count() == 0
+
+
+def test_boilerplate_ops_survive_nulls(spark, nullish):
+    """round-5 ops (ADVICE r5): NULL text must behave as '' — clean_text '',
+    zero lines removed — not propagate NULL through split/size arithmetic."""
+    dup = spark.createDataFrame(
+        [(10, "nav\nbody ten"), (11, "nav\nbody eleven"), (12, None), (13, "")],
+        "doc_id long, text string",
+    )
+    bl = {r["line_md5"] for r in textanalysis.boilerplate_lines(dup, min_docs=2).collect()}
+    assert len(bl) == 1  # only 'nav'; NULL/'' rows contribute nothing
+    out = {
+        r["doc_id"]: r
+        for r in textanalysis.remove_boilerplate(dup, min_docs=2).collect()
+    }
+    assert out[10]["clean_text"] == "body ten" and out[10]["n_lines_removed"] == 1
+    assert out[12]["clean_text"] == "" and out[12]["n_lines_removed"] == 0
+    assert out[13]["clean_text"] == "" and out[13]["n_lines_removed"] == 0
+    # span-dup already documents NULL -> zero-fingerprint row; pin it
+    sd = {r["doc_id"]: r for r in textanalysis.cross_doc_span_dup(nullish).collect()}
+    assert sd[1]["n_fingerprints"] == 0 and sd[1]["dup_span_frac"] == 0.0
