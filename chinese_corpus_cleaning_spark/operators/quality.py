@@ -198,3 +198,32 @@ def detect_udf(trie_broadcast):
         )
 
     return detect
+
+
+def with_pii(df: DataFrame, text_col: str = "scrubbed_text") -> DataFrame:
+    """Append PII-masking columns (pii_text, pii_reasons, n_phone,
+    n_id_number, n_url) computed over ``text_col`` — the north-star
+    "regex-based PII scrub (phone, ID-number, URL)" the reference's fixtures
+    imply (test_filter.py:104,117 plant 13917340054 / www.example.com) but
+    its DFA word-list scrub never masks. Composes AFTER the DFA scrub (run
+    on ``scrubbed_text``) so the byte-parity scrub output is untouched; a
+    pure map-side native-Column projection (functions/pii.py), no UDF, no
+    shuffle — the 100 TB cost is one extra scan of already-materialized
+    strings."""
+    from ..functions.pii import pii_columns
+
+    return df.withColumns(pii_columns(text_col))
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Standalone PII scrub: (id, pii_text, pii_reasons, n_phone,
+    n_id_number, n_url). See with_pii / functions/pii.py for semantics and
+    the three-engine portability contract."""
+    from ..functions.pii import pii_columns
+
+    return docs.select(
+        F.col(id_col),
+        *(v.alias(k) for k, v in pii_columns(text_col).items()),
+    )

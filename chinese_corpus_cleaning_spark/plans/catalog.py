@@ -1338,6 +1338,76 @@ def q_stratified_sample(spark, sf_dir):
 QUERIES["stratified_sample"] = q_stratified_sample
 
 
+# ---- round-6 additions ---------------------------------------------------
+
+# Deterministic PII plants over the word-salad docs (the sf fixtures carry no
+# real PII): ASCII phone + www-URL with CJK context (%5==0 — the reference's
+# own ad fixture shape, test_filter.py:104), FULL-WIDTH phone (%5==1 — the
+# \p{Nd} landmine: width-fold must mask it), 18-digit resident ID whose check
+# char alternates X/digit (%5==2 — 'X' exercises the post-scrub lowercase
+# path), https + bare-domain URLs (%5==3), and NO plant (%5==4 — empty
+# pii_reasons). Both engines build the identical string.
+_PII_PHONE_EXPR = (
+    "'1' || cast(3 + doc_id % 7 as string)"
+    " || lpad(cast(doc_id * 37 % 1000000000 as string), 9, '0')"
+)
+_PII_ID_EXPR = (
+    "'11010119' || cast(90 + doc_id % 10 as string)"
+    " || '0' || cast(1 + doc_id % 9 as string)"
+    " || '1' || cast(doc_id % 10 as string)"
+    " || lpad(cast(doc_id % 1000 as string), 3, '0')"
+    " || case when doc_id % 2 = 0 then 'X' else '7' end"
+)
+_PII_DECOR = (
+    "text || case when doc_id % 5 = 0 then"
+    f" ' 联系电话：' || {_PII_PHONE_EXPR} || '，访问www.promo'"
+    " || cast(doc_id % 9 as string) || '.example.com了解详情'"
+    " when doc_id % 5 = 1 then"
+    f" ' 电话' || translate({_PII_PHONE_EXPR},"
+    " '0123456789', '０１２３４５６７８９') || '句末'"
+    " when doc_id % 5 = 2 then"
+    f" ' 身份证' || {_PII_ID_EXPR} || '。'"
+    " when doc_id % 5 = 3 then"
+    " ' see https://promo' || cast(doc_id % 7 as string)"
+    " || '.example.com/p/' || cast(doc_id as string)"
+    " || ' or visit promo-site.cn today'"
+    " else '' end"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Regex PII scrub (operators/quality.pii_scrub) COMPOSED AFTER the
+    byte-parity DFA scrub — the north-star 'regex-based PII scrub (phone,
+    ID-number, URL)' (reference fixtures: test_filter.py:104,117 plant
+    13917340054 / www.example.com; URL shape generalizes
+    rule_filter.py:31). The DFA pass (real pandas UDF, EN_LEXICON trie)
+    lowercases + star-masks first, exactly as in scrub_text; the PII pass
+    is a pure native-Column projection on its output, so DFA byte-parity
+    is untouched by construction. pii_reasons is array_join'd — the gate
+    hash compares strings, not lists."""
+    from ..operators.quality import pii_scrub
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_DECOR).alias("text")
+    )
+    bc = spark.sparkContext.broadcast(build_trie(EN_LEXICON))
+    scrubbed = d.select(
+        "doc_id", scrub_udf(bc)(F.col("text")).alias("scrubbed_text")
+    )
+    out = pii_scrub(scrubbed, "doc_id", "scrubbed_text")
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "pii_text",
+        F.array_join("pii_reasons", ",").alias("pii_reasons"),
+        "n_phone",
+        "n_id_number",
+        "n_url",
+    )
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1385,7 +1455,14 @@ QUERIES["stratified_sample"] = q_stratified_sample
 #                             members as is_duplicate rows; the standalone
 #                             query re-checks the same hash-groupBy kernel
 #                             the pipeline's gated row already executes)
+# round-6 demotion (admitting pii_scrub into the window):
+#   host_rollup            -> crawl_frontier_dedup (the identical salted
+#                             (key, salt) partial + merge two-phase rollup
+#                             kernel, keyed on the same synthesized hosts —
+#                             the frontier query additionally exercises the
+#                             canonicalization + dedup stage in front of it)
 _GATE_TAIL = [
+    "host_rollup",
     "dedup_exact",
     "orders_rollup",
     "quality_keep",

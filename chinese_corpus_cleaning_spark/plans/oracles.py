@@ -525,6 +525,7 @@ group by r_name"""
     o.update(build_round3())
     o.update(build_round4())
     o.update(build_round5(o))
+    o.update(build_round6())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -1502,3 +1503,34 @@ select regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/?]+)', 1) as host,
 from u
 group by 1"""
     return o
+
+
+def build_round6() -> dict[str, str]:
+    """Round-6 oracles: the regex PII scrub, composed after the DFA scrub
+    exactly as the Spark query does — lower+star-mask chain (the scrub_text
+    oracle) feeding the shared pii_sql_chain (functions/pii.py builds both
+    engines' chains from one rule table; RE2 spelling here, Java spelling
+    in pii_columns — tests/test_pii.py pins their agreement)."""
+    from .catalog import _PII_DECOR
+    from ..functions.pii import pii_sql_chain
+
+    o: dict[str, str] = {}
+    chain = pii_sql_chain("st")
+    o["pii_scrub"] = f"""
+with d as (select doc_id, {_PII_DECOR} as text from documents),
+s as (select doc_id, {_scrub_chain()} as st from d),
+p as (select doc_id,
+        {chain["pii_text"]} as pii_text,
+        {chain["n_phone"]} as n_phone,
+        {chain["n_id_number"]} as n_id_number,
+        {chain["n_url"]} as n_url
+      from s)
+select doc_id::bigint as doc_id, pii_text,
+  coalesce(array_to_string(list_filter(
+    [case when n_phone > 0 then 'phone' end,
+     case when n_id_number > 0 then 'id_number' end,
+     case when n_url > 0 then 'url' end], x -> x is not null), ','), '')
+    as pii_reasons,
+  n_phone, n_id_number, n_url
+from p"""
+    return {k: v.strip() for k, v in o.items()}
