@@ -18,6 +18,12 @@ Stages:
   composite_ann    PRODUCTION 4-component composite (rule+feature UDF +
                    n-gram ppl + RP-LSH-bucketed cluster score) — the
                    CartesianProduct-free plan that runs at 100 TB
+  curation_total   the composed curation mega-pipeline (plans/curation.py):
+                   quality/scrub/PII -> near-dup dedup -> corpus boilerplate
+                   removal -> deterministic stratified sample as ONE plan
+                   over the generated corpus — proves the stage COMPOSITION
+                   (checkpoint placement, observe metrics, bounded text
+                   movement) at bench scale, not just each stage alone
 """
 
 from __future__ import annotations
@@ -151,6 +157,20 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         .agg(F.count(F.lit(1)), F.sum(F.col("keep_full").cast("long")))
         .collect(),
     )
+
+    def _curation():
+        from chinese_corpus_cleaning_spark.plans.curation import curation_run
+
+        curated, _obs = curation_run(
+            gen_docs,
+            trie_bc,
+            strata=("doc_class",),
+            k_per_stratum=max(n_gen // 100, 50),
+            id_col="url",
+        )
+        curated.agg(F.count(F.lit(1))).collect()
+
+    timed("curation_total", _curation)
 
     timings["_n_docs"] = n_docs
     return timings

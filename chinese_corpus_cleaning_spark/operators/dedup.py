@@ -134,6 +134,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_band_bucket: int | None = None,
     n_hubs: int = 4,
+    oversize_probe: str = "broadcast",
 ) -> DataFrame:
     """Banded LSH: explode band keys, self-join on key, dedupe pairs.
 
@@ -176,25 +177,41 @@ def lsh_candidate_pairs(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-    # ONE size-annotate join, then filters: annotating every exploded row
-    # with its bucket size and branching with where() lets AQE reuse the
-    # single band_key exchange across the small-pair self-join, the hub
-    # aggregation and the star join (the previous two-semi-join shape
-    # shuffled the exploded table once per branch — lsh_band_join was the
-    # worst-scaling phase at 1.6M, eff 0.41, BENCH round-5 notes)
+    # The oversized-bucket probe only needs to learn WHICH keys exceed the
+    # cap — and those are rare by construction (hard ceiling
+    # n_rows/cap keys, typically a handful of boilerplate cliques after the
+    # exact pass). Production shape ('broadcast'): aggregate sizes, keep
+    # only the > cap keys, BROADCAST them, and split the exploded table
+    # with map-side anti/semi joins — the full exploded table is never
+    # sort-merge-joined against the size table. The round-5 shape
+    # ('annotate') joined sizes back onto ALL exploded rows to carry _bsz;
+    # AQE reused the exchange but the join itself (sort + merge of every
+    # exploded row) was the worst-scaling phase at 1.6M docs (eff ~0.41,
+    # BENCH round-5 notes). A/B at 1.6M @local[2]/[8]:
+    # BENCH/band_join_ab.py, results in BENCH/BASELINE.md round-6 notes;
+    # candidate/duplicate sets are bit-identical across both shapes.
     sizes = exploded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
-    annotated = exploded.join(sizes, "band_key")
-    small = annotated.where(F.col("_bsz") <= max_band_bucket).select(
-        "band_key", "id"
-    )
+    if oversize_probe == "broadcast":
+        big_keys = F.broadcast(
+            sizes.where(F.col("_bsz") > max_band_bucket).select("band_key")
+        )
+        small = exploded.join(big_keys, "band_key", "left_anti")
+        big_rows = exploded.join(big_keys, "band_key", "left_semi")
+    elif oversize_probe == "annotate":
+        annotated = exploded.join(sizes, "band_key")
+        small = annotated.where(F.col("_bsz") <= max_band_bucket).select(
+            "band_key", "id"
+        )
+        big_rows = annotated.where(F.col("_bsz") > max_band_bucket).select(
+            "band_key", "id"
+        )
+    else:
+        raise ValueError(f"unknown oversize_probe {oversize_probe!r}")
     pairs = (
         small.alias("l")
         .join(small.alias("r"), on="band_key")
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-    )
-    big_rows = annotated.where(F.col("_bsz") > max_band_bucket).select(
-        "band_key", "id"
     )
     # K-hub star: K deterministic hubs per oversized bucket (min id within
     # each of K content-hash classes — no per-bucket sort, so a million-row

@@ -2,12 +2,16 @@
 with typed metadata, decoded/featurized through Arrow-batched pandas UDFs.
 
 The reference is text-only; these operators extend the engine with the
-multimodal pathway a training-data pipeline needs. The container has no
-image/audio codecs, so the decode kernels are STUBBED exactly as documented:
-``decode_image``/``decode_audio`` raise NotImplementedError unless a codec
-library (PIL / soundfile) is importable, while ``fake_decode_meta`` is a
-deterministic stand-in that exercises the full Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — with real bytes.
+multimodal pathway a training-data pipeline needs. Decode depth is split in
+two (round 6): HEADER decode — container magic + pixel dimensions for
+PNG (IHDR) / JPEG (SOFn walk) / GIF (logical screen) — is a REAL pure-stdlib
+kernel (``parse_image_dims``, no codec library needed; the byte layouts are
+public file-format specs), run inside the existing mapInPandas iterators.
+Full PIXEL decode still requires a codec library (PIL / soundfile), absent
+in this container, so ``decode_image``/``decode_audio`` raise
+NotImplementedError unless one is importable — that path is reserved for
+real codecs only. ``fake_decode_meta`` remains as the deterministic
+stand-in for pixel-level plumbing tests.
 
 Scale notes:
   * Binary payloads ride as parquet binary; metadata-only queries must never
@@ -82,6 +86,90 @@ def media_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             ])
 
     return df.select(id_col, blob_col).mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def parse_image_dims(blob: bytes | None) -> tuple[str, int, int] | None:
+    """Pure-stdlib image HEADER decode: (magic, width, height) for PNG /
+    JPEG / GIF byte streams, None for anything else (including truncated
+    headers). Byte layouts are the public format specs:
+
+      * PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
+        big-endian u32 width at offset 16, height at 20.
+      * GIF: 'GIF87a'/'GIF89a', then LITTLE-endian u16 logical-screen
+        width/height at offsets 6/8.
+      * JPEG: marker-segment walk from SOI (FFD8): each segment is FF,
+        marker, big-endian u16 length (incl. itself); the frame headers
+        SOF0-SOF15 (C0-CF minus the non-frame C4/C8/CC) carry u8
+        precision then u16 height, u16 width. Standalone markers
+        (D0-D9, 01) have no length field. Walk stops at SOS (DA) —
+        dimensions always precede entropy-coded data.
+
+    This is the decode step a 100 TB multimodal triage pass actually needs
+    (filter/bucket by dimensions WITHOUT a codec or pixel buffers); pixel
+    decode stays behind decode_image's NotImplementedError until a codec
+    library exists."""
+    import struct
+
+    if not blob:
+        return None
+    b = bytes(blob)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+                i += 2
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no dims found
+                return None
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    return None
+
+
+DIMS_SCHEMA = "media_id string, magic string, width int, height int"
+
+
+def media_dims(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """(media_id, magic, width, height) via the real header kernel —
+    mapInPandas iterator form (constant memory per task); unparseable or
+    non-image blobs yield NULL magic/dims so a bad byte stream is a row,
+    never a task failure (the engine's D4 error-isolation contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                parsed = parse_image_dims(
+                    None if blob is None else bytes(blob)
+                )
+                magic, w, h = parsed if parsed else (None, None, None)
+                rows.append(
+                    {"media_id": str(mid), "magic": magic, "width": w, "height": h}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "magic", "width", "height"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, DIMS_SCHEMA)
 
 
 def decode_image(blob: bytes) -> "object":  # pragma: no cover - stub

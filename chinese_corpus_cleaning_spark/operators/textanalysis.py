@@ -450,6 +450,8 @@ def remove_boilerplate(
     text_col: str = "text",
     min_docs: int | None = None,
     min_doc_frac: float | None = None,
+    keep_cols: tuple[str, ...] = (),
+    probe: str = "lambda",
 ) -> DataFrame:
     """(id, clean_text, n_lines_removed): drop every line whose digest is in
     the boilerplate set, corpus-wide. Unique lines and empty lines survive
@@ -458,13 +460,28 @@ def remove_boilerplate(
     '', n_lines_removed 0) — split(NULL) would otherwise propagate NULL
     sizes whose difference is ANSI-mode-dependent.
 
-    The boilerplate digest set is collapsed to a single array row and
-    broadcast-crossJoined, so document text NEVER crosses a shuffle — the
-    removal filter runs map-side (split -> filter -> array_join). The
-    per-line membership probe is array_contains over the broadcast set
-    (O(|set|) interpreted-lambda scan per line): fine for the bounded
-    nav/footer sets the frequency threshold admits; for a pathologically
-    large set, raise the threshold or run per-host."""
+    Both probe forms are map-side — document text NEVER crosses a shuffle:
+
+    ``probe='lambda'`` (default): the digest set is collapsed to one array
+    row and broadcast-crossJoined; removal is split -> filter(x -> not
+    array_contains(__bl, md5(x))) -> array_join inside the plan (no driver
+    round-trip). The per-line probe is an O(|set|) interpreted-lambda scan —
+    fine for the bounded nav/footer sets the frequency threshold admits.
+
+    ``probe='pandas'``: the digest set is collected to the driver (bounded
+    by corpus_lines/min_docs) and broadcast as a Python frozenset; removal
+    is ONE Arrow-batched pandas UDF with an O(1) hash probe per line. Costs
+    a driver collect + an Arrow round-trip of the text column, wins when
+    |set| x corpus_lines makes the lambda scan quadratic-ish. Byte-identical
+    output (BENCH/boilerplate_probe_ab.py measures the crossover; the
+    exploded-join alternative was rejected on shape: re-assembling per-doc
+    text after an explode would shuffle line text keyed by id)."""
+    if probe == "pandas":
+        return _remove_boilerplate_pandas(
+            docs, id_col, text_col, min_docs, min_doc_frac, keep_cols
+        )
+    if probe != "lambda":
+        raise ValueError(f"unknown probe {probe!r}")
     bl = boilerplate_lines(docs, text_col, min_docs, min_doc_frac).agg(
         F.collect_set("line_md5").alias("__bl")
     )
@@ -478,7 +495,57 @@ def remove_boilerplate(
             F.expr(f"size({parts}) - size({kept})")
             .cast("bigint")
             .alias("n_lines_removed"),
+            # passthrough columns (e.g. strata for a downstream sampler) —
+            # still map-side, no re-join needed to recover them
+            *(F.col(c) for c in keep_cols),
         )
+    )
+
+
+def _remove_boilerplate_pandas(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int | None,
+    min_doc_frac: float | None,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Frozenset-probe form of remove_boilerplate — same output bytes, O(1)
+    membership per line via a sparkContext-broadcast Python set inside one
+    Arrow-batched pandas UDF."""
+    import hashlib
+
+    import pandas as pd
+
+    digests = frozenset(
+        r["line_md5"]
+        for r in boilerplate_lines(
+            docs, text_col, min_docs, min_doc_frac
+        ).collect()
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(digests)
+
+    @F.pandas_udf("struct<clean_text: string, n_lines_removed: bigint>")
+    def clean(texts: pd.Series) -> pd.DataFrame:
+        bl = bc.value
+        outs, removed = [], []
+        for t in texts:
+            parts = ("" if t is None else t).split("\n")
+            kept = [
+                x
+                for x in parts
+                if hashlib.md5(x.encode("utf-8")).hexdigest() not in bl
+            ]
+            outs.append("\n".join(kept))
+            removed.append(len(parts) - len(kept))
+        return pd.DataFrame({"clean_text": outs, "n_lines_removed": removed})
+
+    c = clean(F.col(text_col)).alias("__c")
+    return docs.select(
+        F.col(id_col),
+        c.getField("clean_text").alias("clean_text"),
+        c.getField("n_lines_removed").alias("n_lines_removed"),
+        *(F.col(col) for col in keep_cols),
     )
 
 

@@ -1408,6 +1408,101 @@ def q_pii_scrub(spark, sf_dir):
 QUERIES["pii_scrub"] = q_pii_scrub
 
 
+def q_media_dims(spark, sf_dir):
+    """Multimodal header decode through the REAL pure-stdlib kernel
+    (operators/multimodal.parse_image_dims inside the mapInPandas
+    iterator): deterministic PNG/JPEG/GIF header blobs are synthesized
+    from doc_id (sources/gen.image_blob_for — spec-conformant bytes), the
+    kernel parses magic + pixel dimensions back out, and the oracle
+    recomputes the dimensions from the shared doc_id formulas
+    (gen.MEDIA_W/MEDIA_H) — so the row only matches if the byte-level
+    parse is right. Pixel decode remains behind decode_image's
+    NotImplementedError (codec libraries only)."""
+    from ..operators.multimodal import media_dims
+    from ..sources.gen import media_blob_udf
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.withColumn("blob", media_blob_udf()(F.col("doc_id")))
+    out = media_dims(blobs, "doc_id", "blob")
+    return out.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "magic",
+        "width",
+        "height",
+    )
+
+
+QUERIES["media_dims"] = q_media_dims
+
+
+# ---- composed curation pipeline (round 6): decoration plants, on top of
+# the word-salad corpus, every artifact each stage must act on —
+#   * doc_id % 7 == 0  ->  one FIXED Chinese document (keeps at q=0.986,
+#     carries a phone line) so the dedup stage sees a large exact-dup
+#     group collapsing to the min-id representative;
+#   * an ASCII footer on EVERY doc and a social line on evens -> corpus
+#     boilerplate above the 0.3 doc-frac threshold;
+#   * a bare phone line on doc_id % 5 (the bare number: '联系电话' itself
+#     would zero the feature score) -> PII masking visible in clean_text.
+# Shared verbatim with the DuckDB oracle (chr(10) and || are portable).
+_CURATION_FIXED_SQL = " || chr(10) || ".join(
+    f"'{ln}'"
+    for ln in (
+        "质量检验合格的中文正文第一行内容充实信息丰富结构完整表述清晰",
+        "第二行继续提供真实有效的中文内容保证字符比例满足规则阈值要求",
+        "第三行文字保持自然语言风格避免重复片段与广告词汇干扰评分",
+        "客服热线13917340054随时致电第四行收尾用于精确重复检测样例",
+    )
+)
+_CURATION_FOOTER = "'COPYRIGHT 2025 CORPUS FOOTER'"
+_CURATION_DECOR = (
+    f"case when doc_id % 7 = 0 then {_CURATION_FIXED_SQL}"
+    f" || chr(10) || {_CURATION_FOOTER} "
+    f"else text || chr(10) || {_CURATION_FOOTER} || chr(10) || "
+    "case when doc_id % 2 = 0 then 'follow us on social media' "
+    "else 'tail ' || cast(doc_id as string) end || "
+    "case when doc_id % 5 = 0 then chr(10) || '13917340054' "
+    "else '' end end"
+)
+
+
+def q_curation_total(spark, sf_dir):
+    """The curation mega-pipeline composed as ONE plan (plans/curation.py):
+    quality keep + DFA scrub + PII mask -> exact/near-dup dedup (gate pins
+    the exact uncapped LSH form) -> corpus boilerplate removal over the
+    masked text -> deterministic per-(source,lang) quota sample. Every
+    stage is individually gated elsewhere; THIS row proves their
+    composition — keep filtering feeds dedup on original text, survivors
+    feed the boilerplate frequency pass, sampling ranks the cleaned rows.
+    The oracle recomputes all four stages as one CTE chain."""
+    from ..plans.curation import curation_run
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CURATION_DECOR).alias("text"), "source", "lang"
+    )
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    curated, _obs = curation_run(
+        d,
+        bc,
+        dedup_cfg=_SMALL_MINHASH,
+        strata=("source", "lang"),
+        k_per_stratum=3,
+        boilerplate_min_doc_frac=0.3,
+        max_band_bucket=None,
+    )
+    return curated.select(
+        F.col("doc_id").cast("bigint"),
+        "clean_text",
+        F.col("n_lines_removed").cast("bigint"),
+        "source",
+        "lang",
+        F.col("sample_rank").cast("bigint"),
+    )
+
+
+QUERIES["curation_total"] = q_curation_total
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1461,7 +1556,22 @@ QUERIES["pii_scrub"] = q_pii_scrub
 #                             kernel, keyed on the same synthesized hosts —
 #                             the frontier query additionally exercises the
 #                             canonicalization + dedup stage in front of it)
+# round-6 demotions (admitting media_dims and curation_total):
+#   binary_meta            -> media_dims (same opaque-binary metadata
+#                             contract, but through the REAL mapInPandas
+#                             kernel over real header bytes with a parsed-
+#                             dimensions check; binary_meta's n_bytes/md5
+#                             are native exprs the other 49 rows exercise
+#                             constantly)
+#   stratified_sample      -> curation_total (final stage IS the same
+#                             operator at the same k=3 quota over the same
+#                             (source, lang) strata and h60-of-id order —
+#                             now fed by the composed pipeline instead of
+#                             the raw table, which additionally proves the
+#                             sampler on a derived, filtered input)
 _GATE_TAIL = [
+    "stratified_sample",
+    "binary_meta",
     "host_rollup",
     "dedup_exact",
     "orders_rollup",

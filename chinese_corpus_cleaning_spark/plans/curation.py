@@ -1,0 +1,136 @@
+"""The curation mega-pipeline: every stage a 100 TB training-data run needs,
+composed as ONE Spark plan —
+
+    quality/scrub/PII -> near-dup dedup -> corpus boilerplate removal
+        -> deterministic stratified sample
+
+The individual operators are all gate-verified (plans/catalog.py rows);
+what this module adds is their COMPOSITION: checkpoint placement, observe()
+metrics with zero extra jobs, and an audited bound on text movement.
+
+Text-shuffle audit (the number tests/test_curation.py plan-asserts):
+document BODIES cross a shuffle exactly TWICE end-to-end —
+  1. inside dedup_representatives: the semi-join fetching each exact-
+     representative's text for MinHash (dedup.py's documented single text
+     shuffle; the exact pass itself keys on md5 digests);
+  2. the survivor semi-join selecting non-duplicate curated rows (the label
+     table is corpus-sized, so it cannot broadcast).
+Everything else moves digests, ids, or counts: the quality/scrub/PII stage
+is one Arrow pass plus native map-side projections; boilerplate frequency
+ships (md5, count) partials and removal is a broadcast-set map-side filter;
+the sampler ranks a slim (id, strata) projection and the winning id set —
+bounded by k x |strata| rows by construction — broadcasts back for the
+final semi-join.
+
+Checkpoint placement: the kept/PII frame is localCheckpointed BEFORE dedup
+(dedup scans its input several times — exact pass, representative fetch —
+and each rescan would otherwise re-run the Arrow quality UDF); the unique
+survivors are checkpointed before boilerplate (frequency pass + removal
+pass both scan them). Both checkpoints follow the CLAUDE.md loop-state
+doctrine measured in round 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, DedupConfig, PipelineConfig
+from ..operators.dedup import dedup_representatives
+from ..operators.quality import with_pii, with_quality
+from ..operators.sampling import stratified_sample
+from ..operators.textanalysis import remove_boilerplate
+
+__all__ = ["curation_run"]
+
+
+def curation_run(
+    docs: DataFrame,
+    trie_broadcast,
+    cfg: PipelineConfig = DEFAULT,
+    dedup_cfg: DedupConfig | None = None,
+    strata: tuple[str, ...] = ("source", "lang"),
+    k_per_stratum: int = 100,
+    boilerplate_min_doc_frac: float = 0.3,
+    max_band_bucket: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """Returns (curated, observations). ``curated`` has columns
+    (id, clean_text, n_lines_removed, *strata, sample_rank); run ONE action
+    on it (count/write), then read each Observation.get — the metrics
+    piggyback on the stage checkpoints and the final action, costing zero
+    extra jobs (round-3 measured doctrine).
+
+    Near-dup dedup runs on the ORIGINAL text (masking/scrubbing must not
+    change what counts as a duplicate); the curated output text is the
+    boilerplate-cleaned PII-masked scrub output (``pii_text``) — the bytes
+    a training run should actually consume."""
+    dedup_cfg = dedup_cfg or DedupConfig()
+    obs = {
+        "input": Observation("curation_input"),
+        "kept": Observation("curation_kept"),
+        "unique": Observation("curation_unique"),
+        "sampled": Observation("curation_sampled"),
+    }
+
+    # ---- stage 1: quality + DFA scrub + PII mask (one Arrow pass + native
+    # projections, map-side; with_quality preserves passthrough columns)
+    scored = with_quality(
+        docs.select(id_col, text_col, *strata).observe(
+            obs["input"], F.count(F.lit(1)).alias("n")
+        ),
+        trie_broadcast,
+        cfg,
+        text_col=text_col,
+    )
+    kept = (
+        with_pii(scored.where(F.col("keep")), "scrubbed_text")
+        .select(id_col, text_col, "pii_text", "n_phone", "n_id_number", *strata)
+        .observe(obs["kept"], F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- stage 2: near-dup dedup on original text; survivors semi-join
+    # (text shuffle #2 of 2 — see module doc)
+    labels = dedup_representatives(
+        kept.select(F.col(id_col), F.col(text_col)),
+        dedup_cfg,
+        id_col=id_col,
+        text_col=text_col,
+        max_band_bucket=max_band_bucket,
+    )
+    uniq = (
+        kept.join(
+            labels.where(~F.col("is_duplicate")).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        .observe(obs["unique"], F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- stage 3: corpus-level boilerplate removal over the CURATED text
+    # (digests-only shuffle; removal map-side; strata ride through)
+    cleaned = remove_boilerplate(
+        uniq,
+        id_col=id_col,
+        text_col="pii_text",
+        min_doc_frac=boilerplate_min_doc_frac,
+        keep_cols=strata,
+    )
+
+    # ---- stage 4: deterministic per-stratum quota; winner ids broadcast
+    # back (<= k x |strata| rows by construction) so text never shuffles
+    sample = stratified_sample(
+        cleaned.select(id_col, *strata), strata, k=k_per_stratum, id_col=id_col
+    )
+    curated = (
+        cleaned.join(
+            F.broadcast(sample.select(id_col, "sample_rank")), id_col
+        )
+        .observe(obs["sampled"], F.count(F.lit(1)).alias("n"))
+    )
+    return curated, obs

@@ -526,6 +526,7 @@ group by r_name"""
     o.update(build_round4())
     o.update(build_round5(o))
     o.update(build_round6())
+    o.update(build_curation())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -793,21 +794,18 @@ left join border b on d.doc_id = b.id"""
     return o
 
 
-def build_dedup_full() -> dict[str, str]:
-    """End-to-end dedup_representatives oracle: exact groups -> rep edges,
-    MinHash/LSH/similarity over the distinct-text reps (same CTE chain as
-    dedup_minhash_pairs, retargeted at the reps table), union of edge sets,
-    then connected components as a recursive-CTE transitive closure with
-    component = least(id, min(reachable)). Tractable because the fixture's
-    edge set is small; Spark's side runs the adaptive CC strategy."""
+def _dedup_cte_chain(src: str = "documents") -> str:
+    """The dedup_representatives CTE chain (groups .. comp), parameterized
+    on the source relation so the composed curation oracle can retarget it
+    at the quality-kept subset. Must be spliced into a `with recursive`
+    clause; yields `comp(id, comp)` — join ``{src}`` against it for the
+    per-doc component / is_duplicate columns."""
     sh_reps = _SHINGLES5.replace("from documents", "from reps")
     thr = _SMALL_MINHASH.similarity_threshold
-    sql = f"""
-with recursive
-groups as (select text, min(doc_id) as rep from documents group by text),
+    return f"""groups as (select text, min(doc_id) as rep from {src} group by text),
 exact_edges as (
   select g.rep as id_a, d.doc_id as id_b
-  from documents d join groups g on d.text = g.text
+  from {src} d join groups g on d.text = g.text
   where d.doc_id <> g.rep),
 reps as (select rep as doc_id, text from groups),
 sh as ({sh_reps}),
@@ -831,7 +829,19 @@ reach as (
   select s as id, t as r from sym
   union
   select reach.id, sym.t as r from reach join sym on reach.r = sym.s),
-comp as (select id, least(id, min(r)) as comp from reach group by id)
+comp as (select id, least(id, min(r)) as comp from reach group by id)"""
+
+
+def build_dedup_full() -> dict[str, str]:
+    """End-to-end dedup_representatives oracle: exact groups -> rep edges,
+    MinHash/LSH/similarity over the distinct-text reps (same CTE chain as
+    dedup_minhash_pairs, retargeted at the reps table), union of edge sets,
+    then connected components as a recursive-CTE transitive closure with
+    component = least(id, min(reachable)). Tractable because the fixture's
+    edge set is small; Spark's side runs the adaptive CC strategy."""
+    sql = f"""
+with recursive
+{_dedup_cte_chain()}
 select d.doc_id::bigint as doc_id,
   coalesce(c.comp, d.doc_id)::bigint as component,
   (coalesce(c.comp, d.doc_id) <> d.doc_id) as is_duplicate
@@ -1533,4 +1543,101 @@ select doc_id::bigint as doc_id, pii_text,
     as pii_reasons,
   n_phone, n_id_number, n_url
 from p"""
+
+    # media header decode: the oracle recomputes dimensions from the SAME
+    # doc_id formulas the blob generator embeds into real PNG/JPEG/GIF
+    # header bytes (sources/gen.image_blob_for); the Spark side must parse
+    # them back out of the bytes (multimodal.parse_image_dims)
+    from ..sources.gen import MEDIA_H, MEDIA_W
+
+    o["media_dims"] = f"""
+select doc_id::bigint as doc_id,
+  case doc_id % 3 when 0 then 'png' when 1 then 'jpeg' else 'gif' end
+    as magic,
+  ({MEDIA_W})::int as width,
+  ({MEDIA_H})::int as height
+from documents"""
     return {k: v.strip() for k, v in o.items()}
+
+
+def build_curation() -> dict[str, str]:
+    """The composed curation-pipeline oracle — all four stages of
+    plans/curation.curation_run as ONE CTE chain over the same decorated
+    corpus (catalog._CURATION_DECOR, shared verbatim):
+
+      1. quality keep: the quality_keep oracle's rule+feature scoring,
+         retargeted at the decorated `d` CTE (same unrounded >= threshold
+         comparison);
+      2. dedup: the dedup_representatives recursive-CTE chain
+         (_dedup_cte_chain) retargeted at the kept subset; survivors are
+         the min-id component representatives;
+      3. PII over scrub: _scrub_chain feeding pii_sql_chain (the shared
+         two-dialect rule table, functions/pii.py) — per-row, so masking
+         before or after dedup is equivalent (curation_run masks before,
+         this oracle after the survivor filter);
+      4. boilerplate removal over the masked text, threshold
+         ceil(0.3 * |survivors|), then the naive single-window stratified
+         sample (h60-of-id order, k=3 per (source, lang)) the two-phase
+         Spark sampler provably equals."""
+    from .catalog import _CURATION_DECOR
+    from ..functions.pii import pii_sql_chain
+
+    chain = pii_sql_chain("st")
+    rules = _rule_stats_cte().replace("from documents", "from d")
+    feats = _feature_cte().replace("from documents", "from d")
+    wr, wf = DEFAULT.weight_rule, DEFAULT.weight_feature
+    thr = DEFAULT.quality_threshold
+    sql = f"""
+with recursive
+d as (select doc_id, {_CURATION_DECOR} as text, source, lang from documents),
+s as ({rules}),
+feat as ({feats}),
+scored0 as (
+  select s.doc_id,
+    ({_rule_score_sql()}) as rule_score,
+    ({_feature_score()}) as feature_score
+  from s join feat on s.doc_id = feat.doc_id),
+scored as (
+  select doc_id,
+    ((rule_score * {wr} + feature_score * {wf}) / {wr + wf}) >= {thr} as keep
+  from scored0),
+kept as (
+  select d.doc_id, d.text, d.source, d.lang
+  from d join scored on scored.doc_id = d.doc_id
+  where scored.keep),
+{_dedup_cte_chain("kept")},
+uniq as (
+  select k.doc_id, k.text, k.source, k.lang
+  from kept k left join comp c on k.doc_id = c.id
+  where coalesce(c.comp, k.doc_id) = k.doc_id),
+pii as (
+  select doc_id, source, lang, {chain["pii_text"]} as pii_text
+  from (select doc_id, source, lang, {_scrub_chain()} as st from uniq) sub),
+bl_lines as (
+  select unnest(list_distinct(list_filter(string_split(pii_text, chr(10)),
+    x -> length(x) > 0))) as line
+  from pii),
+bl_freq as (select line, count(*) as df from bl_lines group by line),
+bl_tot as (select count(*) as n from pii),
+bl as (
+  select coalesce(list(line), []) as bls
+  from bl_freq cross join bl_tot
+  where df >= ceil(0.3::double * n)),
+cleaned as (
+  select doc_id, source, lang,
+    array_to_string(list_filter(string_split(pii_text, chr(10)),
+      x -> not list_contains(bls, x)), chr(10)) as clean_text,
+    (len(string_split(pii_text, chr(10)))
+     - len(list_filter(string_split(pii_text, chr(10)),
+         x -> not list_contains(bls, x))))::bigint as n_lines_removed
+  from pii cross join bl),
+sampled as (
+  select doc_id, clean_text, n_lines_removed, source, lang,
+    row_number() over (partition by source, lang
+      order by ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint,
+               doc_id) as sample_rank
+  from cleaned)
+select doc_id::bigint as doc_id, clean_text, n_lines_removed,
+  source, lang, sample_rank::bigint as sample_rank
+from sampled where sample_rank <= 3"""
+    return {"curation_total": sql.strip()}

@@ -206,3 +206,62 @@ def docs_df(spark, n: int, partitions: int = 32):
         spark.range(0, n, 1, partitions)
         .mapInPandas(gen, schema=DOCS_SCHEMA)
     )
+
+
+# ------------------------------------------------------- synthetic media
+
+# Dimension formulas shared with the media_dims DuckDB oracle
+# (plans/oracles.py): the oracle recomputes these from doc_id instead of
+# parsing bytes, so a correct header PARSER (operators/multimodal.
+# parse_image_dims) is exactly what makes the gate row match.
+MEDIA_W = "16 + (doc_id * 7) % 2048"
+MEDIA_H = "16 + (doc_id * 13) % 2048"
+
+
+def image_blob_for(doc_id: int) -> bytes:
+    """Deterministic minimal-but-valid image HEADER bytes: kind cycles
+    png/jpeg/gif by doc_id % 3, dimensions from MEDIA_W/MEDIA_H. The bytes
+    are real spec-conformant headers (a codec-backed parser would agree on
+    the dimensions), plus a short deterministic payload tail so blobs have
+    content beyond the header."""
+    import struct
+
+    w = 16 + (doc_id * 7) % 2048
+    h = 16 + (doc_id * 13) % 2048
+    tail = f"payload{doc_id}".encode()
+    kind = doc_id % 3
+    if kind == 0:  # PNG: signature + IHDR chunk
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # (uncomputed CRC — header parse only)
+            + tail
+        )
+    if kind == 1:  # JPEG: SOI + APP0(JFIF) + SOF0
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 17)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return b"\xff\xd8" + app0 + sof0 + tail
+    # GIF89a: little-endian logical-screen descriptor
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + tail
+
+
+def media_blob_udf():
+    """Arrow-batched blob builder (id -> header bytes); pandas UDF, never
+    row-at-a-time."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: image_blob_for(int(i)))
+
+    return build

@@ -1,0 +1,157 @@
+"""E2E of the composed curation mega-pipeline (plans/curation.py):
+
+    quality/scrub/PII -> near-dup dedup -> boilerplate removal
+        -> deterministic stratified sample
+
+run as ONE plan over a purpose-built corpus with known junk docs, exact +
+near duplicates, a corpus-wide boilerplate footer, planted phone-number PII
+and three strata — every stage's effect is individually observable in the
+single output, the Observation metrics must agree with the per-stage truths,
+and the post-checkpoint plan must never hash-partition on a text column."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from chinese_corpus_cleaning_spark.functions.dfa import build_trie
+from chinese_corpus_cleaning_spark.plans.curation import curation_run
+from chinese_corpus_cleaning_spark.sources.wordlists import SMALL_LEXICON
+
+# public-domain hanzi pool (Thousand Character Classic opening) — no commas,
+# no symbols, so rule F3/F4/F7 pass comfortably
+_POOL = (
+    "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳"
+    "云腾致雨露结为霜金生丽水玉出昆冈剑号巨阙珠称夜光果珍李柰菜重芥姜"
+)
+FOOTER = "版权所有盗版必究请勿转载联系客服"
+PHONE = "13917340054"  # the reference's own fixture number
+
+
+def _body(i: int) -> str:
+    # 4 lines x 30 unique-ish hanzi: len 120+, zh ratio ~1, avg line len 30
+    chars = [_POOL[(i * 7 + j * 3 + i * j) % len(_POOL)] for j in range(120)]
+    return "\n".join(
+        "".join(chars[k : k + 30]) for k in range(0, 120, 30)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(30):  # 30 good docs
+        text = _body(i)
+        if i % 2 == 0:  # footer in 50% of docs (> the 30% threshold)
+            text += "\n" + FOOTER
+        if i % 5 == 0:  # planted bare-phone PII line in 6 docs ("联系电话"
+            # itself is a SMALL_LEXICON spam word that would zero the
+            # feature score — the bare number keeps q at 0.988)
+            text += "\n" + PHONE
+        rows.append((i, text, "zh", f"s{i % 3}"))
+    # near-duplicates of docs 0-2 (one char changed, shingle Jaccard 0.98)
+    # and an exact dup of 3
+    for j, base in enumerate((0, 1, 2)):
+        t = rows[base][1]
+        rows.append((30 + j, t[:-1] + "完", "zh", f"s{(30 + j) % 3}"))
+    rows.append((33, rows[3][1], "zh", "s0"))
+    # junk the quality stage must drop: the engine's keep is the reference's
+    # SOFT score (a short doc still passes — CLAUDE.md quirk), so failing
+    # docs carry spam lexicon words (feature score 0 -> q 0.35) or are
+    # empty (per-doc error isolation)
+    rows.append((40, _body(40) + "\n赌博色情暴力特价促销", "zh", "s1"))
+    rows.append((41, "促销优惠免费咨询加微信点击链接" * 5, "zh", "s2"))
+    rows.append((42, "", "zh", "s0"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def curated_run(spark, corpus):
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, obs = curation_run(
+        corpus,
+        bc,
+        strata=("source",),
+        k_per_stratum=5,
+        boilerplate_min_doc_frac=0.3,
+    )
+    rows = curated.collect()  # the ONE action the contract asks for
+    return rows, {k: o.get for k, o in obs.items()}
+
+
+def test_stage_metrics_and_dedup(curated_run):
+    rows, obs = curated_run
+    assert obs["input"]["n"] == 37
+    assert obs["kept"]["n"] == 34  # 3 junk docs dropped (short/english/empty)
+    # 3 near-dups + 1 exact dup removed; min-id representatives survive
+    assert obs["unique"]["n"] == 30
+    ids = {r["doc_id"] for r in rows}
+    assert {30, 31, 32, 33}.isdisjoint(ids)
+    assert {0, 1, 2, 3} <= ids
+    assert obs["sampled"]["n"] == len(rows)
+
+
+def test_boilerplate_removed_and_pii_masked(curated_run):
+    rows, _ = curated_run
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert FOOTER not in r["clean_text"], r["doc_id"]
+        assert PHONE not in r["clean_text"], r["doc_id"]
+    # footer docs record exactly one removed line; others zero
+    footered = [i for i in by_id if i % 2 == 0]
+    assert footered and all(by_id[i]["n_lines_removed"] == 1 for i in footered)
+    assert all(by_id[i]["n_lines_removed"] == 0 for i in by_id if i % 2)
+    # phone docs carry the mask token on the PII line
+    phoned = [i for i in by_id if i % 5 == 0]
+    assert phoned and all("<PHONE>" in by_id[i]["clean_text"] for i in phoned)
+    assert all(
+        "<PHONE>" not in by_id[i]["clean_text"] for i in by_id if i % 5
+    )
+
+
+def test_stratified_quota(curated_run):
+    rows, _ = curated_run
+    per: dict[str, list[int]] = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    # 30 unique docs over 3 strata of 10 each; quota k=5 binds everywhere
+    assert {s: sorted(v) for s, v in per.items()} == {
+        f"s{i}": [1, 2, 3, 4, 5] for i in range(3)
+    }
+
+
+def test_deterministic_under_repartition(spark, corpus):
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    a, _ = curation_run(
+        corpus, bc, strata=("source",), k_per_stratum=5
+    )
+    b, _ = curation_run(
+        corpus.repartition(7), bc, strata=("source",), k_per_stratum=5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_no_text_column_keys_a_shuffle(spark, corpus):
+    """Post-checkpoint plan (boilerplate + sampler + final join): every
+    hashpartitioning key is an id / digest / stratum — never a text body.
+    (The pre-checkpoint dedup stages carry their own assertion in
+    test_plan_quality.test_dedup_edges_never_shuffle_on_text.)"""
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, _ = curation_run(corpus, bc, strata=("source",), k_per_stratum=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curated.explain("formatted")
+    plan = buf.getvalue()
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan  # sanity: digest/sampler aggregations do shuffle
+    for keys in exchanges:
+        for key in keys.split(", "):
+            assert not re.match(r"(text|pii_text|clean_text)#", key), (
+                key,
+                plan,
+            )

@@ -179,3 +179,71 @@ def test_stateful_host_totals_matches_batch(spark, tmp_path):
     assert final == batch
     # multiple microbatches actually happened (some host emitted >1 row)
     assert len(emitted) > len(batch)
+
+
+# ---------------------------------------------------- round-6 header decode
+
+
+def test_parse_image_dims_pure():
+    """Header kernel vs the generator's spec-conformant bytes, plus
+    malformed inputs (truncated / junk / dimensionless JPEG / restart
+    markers) — all must return None, never raise."""
+    for i in (0, 1, 2, 7, 100, 54321):
+        magic, w, h = multimodal.parse_image_dims(gen.image_blob_for(i))
+        assert magic == {0: "png", 1: "jpeg", 2: "gif"}[i % 3]
+        assert (w, h) == (16 + (i * 7) % 2048, 16 + (i * 13) % 2048)
+    assert multimodal.parse_image_dims(None) is None
+    assert multimodal.parse_image_dims(b"") is None
+    assert multimodal.parse_image_dims(b"plain bytes") is None
+    assert multimodal.parse_image_dims(b"\x89PNG\r\n\x1a\n1234") is None
+    assert multimodal.parse_image_dims(b"GIF89a\x01") is None
+    # JPEG: DQT segment then SOS without any SOFn -> no dims
+    assert (
+        multimodal.parse_image_dims(
+            b"\xff\xd8\xff\xdb\x00\x04ab\xff\xda\x00\x02"
+        )
+        is None
+    )
+    # JPEG: APP0 + restart marker + fill byte before SOF0 still parses
+    import struct
+
+    j = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x04ab"
+        + b"\xff\xd0"  # standalone RST0
+        + b"\xff"  # fill byte
+        + b"\xff\xc2"  # progressive SOF2 counts as a frame header
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 33, 44)
+        + b"\x03" * 10
+    )
+    assert multimodal.parse_image_dims(j) == ("jpeg", 44, 33)
+
+
+def test_media_dims_spark(spark, media_df):
+    """Real blobs through the mapInPandas kernel: parsed rows for the
+    generator's images, NULL rows (not failures) for junk/NULL blobs."""
+    d = spark.range(0, 8, 1, 2).select(
+        F.col("id").alias("doc_id"),
+        gen.media_blob_udf()(F.col("id")).alias("blob"),
+    )
+    out = {
+        int(r["media_id"]): r
+        for r in multimodal.media_dims(d, "doc_id", "blob").collect()
+    }
+    assert len(out) == 8
+    for i in range(8):
+        assert out[i]["magic"] == {0: "png", 1: "jpeg", 2: "gif"}[i % 3]
+        assert out[i]["width"] == 16 + (i * 7) % 2048
+        assert out[i]["height"] == 16 + (i * 13) % 2048
+    junk = {
+        r["media_id"]: r
+        for r in multimodal.media_dims(media_df, "media_id", "blob").collect()
+    }
+    assert len(junk) == 5
+    assert all(junk[k]["magic"] is None for k in ("c", "d", "e"))
+    # 'a' is a truncated JPEG (APP0 length runs past the buffer) and 'b' a
+    # truncated PNG signature — header kernel must return NULLs, not rows
+    # with garbage dims
+    assert junk["a"]["width"] is None and junk["b"]["width"] is None
