@@ -88,12 +88,14 @@ def test_stage_metrics_and_dedup(curated_run):
     rows, obs = curated_run
     assert obs["input"]["n"] == 37
     assert obs["kept"]["n"] == 34  # 3 junk docs dropped (short/english/empty)
-    # 3 near-dups + 1 exact dup removed; min-id representatives survive
+    # 3 near-dups + 1 exact dup removed (min-id representatives survive to
+    # the unique stage; the FINAL rows are the k=5-per-stratum sample, so
+    # only the duplicate ids' absence is assertable on the output)
     assert obs["unique"]["n"] == 30
     ids = {r["doc_id"] for r in rows}
     assert {30, 31, 32, 33}.isdisjoint(ids)
-    assert {0, 1, 2, 3} <= ids
-    assert obs["sampled"]["n"] == len(rows)
+    assert ids <= set(range(30))
+    assert obs["sampled"]["n"] == len(rows) == 15
 
 
 def test_boilerplate_removed_and_pii_masked(curated_run):
