@@ -306,6 +306,22 @@ def minhash_similarity_pairs(
     # short-circuits most candidates JVM-side; the UDF must pay Arrow
     # transfer of both full signatures for every pair, and (1.6M phase
     # table, BENCH/BASELINE.md) the JVM form already scales at eff 1.00.
+    cond, est_col = _est_jaccard_exprs(cfg)
+    est = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .where(cond)
+        .withColumn("est_jaccard", est_col)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def _est_jaccard_exprs(cfg: DedupConfig):
+    """(filter_cond, est_jaccard_col) over columns minhash_a/minhash_b —
+    the exact 32-slot prefix prune + full zip_with agreement fraction shared
+    by minhash_similarity_pairs and dedup_incremental_pairs (see the prune
+    derivation comment at the minhash_similarity_pairs call site)."""
     nh = cfg.num_hashes
     k_min = next(k for k in range(nh + 1) if k / nh >= cfg.similarity_threshold)
     prefix = min(32, nh)
@@ -321,17 +337,130 @@ def minhash_similarity_pairs(
             f" slice(minhash_b, 1, {prefix}), (x, y) -> x = y), v -> v))"
         )
         cond = F.expr(f"{prefix_agree} >= {need}") & cond
-    est = (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .where(cond)
-        .withColumn(
-            "est_jaccard",
-            F.expr(f"{full_agree} / size(minhash_a)"),
-        )
-        .select("id_a", "id_b", "est_jaccard")
+    return cond, F.expr(f"{full_agree} / size(minhash_a)")
+
+
+# --------------------------------------------------- incremental (batch) dedup
+
+
+def _incremental_pairs_from_signed(
+    signed_new: DataFrame,
+    corpus_index: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    broadcast_new: bool,
+) -> DataFrame:
+    new_bands = signed_new.select(
+        F.col(id_col).alias("new_id"), F.explode("band_keys").alias("band_key")
     )
-    return est
+    if broadcast_new:
+        new_bands = F.broadcast(new_bands)
+    corpus_bands = corpus_index.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode("band_keys").alias("band_key"),
+    )
+    cand = (
+        corpus_bands.join(new_bands, "band_key")
+        .select("new_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # corpus signatures are pruned to the candidate corpus ids BEFORE the
+    # verify join — candidates are rare relative to the corpus, so the
+    # 128-slot arrays of non-candidates never leave the scan
+    corpus_sigs = corpus_index.select(
+        F.col(id_col).alias("corpus_id"), F.col("minhash").alias("minhash_a")
+    ).join(cand.select("corpus_id"), "corpus_id", "left_semi")
+    new_sigs = signed_new.select(
+        F.col(id_col).alias("new_id"), F.col("minhash").alias("minhash_b")
+    )
+    if broadcast_new:
+        new_sigs = F.broadcast(new_sigs)
+    cond, est_col = _est_jaccard_exprs(cfg)
+    return (
+        cand.join(corpus_sigs, "corpus_id")
+        .join(new_sigs, "new_id")
+        .where(cond)
+        .withColumn("est_jaccard", est_col)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
+def dedup_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus signature
+    index — the shape a continuously-crawled 100 TB corpus actually runs:
+    the corpus is hashed ONCE (``with_minhash`` persisted as a table of
+    (id, minhash, band_keys)) and each increment is deduped against it
+    without re-hashing or re-shuffling the corpus.
+
+    ``broadcast_new=True`` (default, for increments that fit the broadcast
+    threshold): the new batch's exploded (new_id, band_key) rows and its
+    signatures are broadcast, so the ONLY work on the corpus side is a
+    map-side hash probe of the band-key stream plus a semi-join-pruned
+    signature fetch for the rare candidate ids — the corpus index crosses
+    zero shuffles. With ``False`` the band probe is a plain equi-join on
+    band_key (for increments too large to broadcast); Catalyst/AQE pick the
+    strategy. Symmetric agreement estimate: fraction of agreeing minhash
+    slots (same estimator, same exact prefix prune as
+    minhash_similarity_pairs; reference clustering semantics
+    text_quality_filter/clustering.py:25-27 re-expressed for MinHash-LSH).
+
+    New-vs-new duplicates inside the batch are deliberately out of scope —
+    run minhash_similarity_pairs on the batch (or fold the batch into the
+    index afterwards with a union of the ``with_minhash`` output).
+
+    Returns (new_id, corpus_id, est_jaccard), est >= cfg threshold —
+    provably equal to minhash_similarity_pairs over the concatenated corpus
+    restricted to cross-partition uncapped-LSH pairs
+    (tests/test_dedup_spark.py pins the equality)."""
+    signed_new = with_minhash(new_docs, cfg, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    return _incremental_pairs_from_signed(
+        signed_new, corpus_index, cfg, id_col, broadcast_new
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Per-new-doc labels against the corpus index (see
+    dedup_incremental_pairs for the join shape): (id, is_duplicate, dup_of,
+    n_corpus_matches, max_est_jaccard) where dup_of is the MIN matching
+    corpus id (deterministic representative, same min-id election as
+    dedup_representatives) and non-matching docs carry
+    (false, NULL, 0, NULL)."""
+    signed_new = with_minhash(new_docs, cfg, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    pairs = _incremental_pairs_from_signed(
+        signed_new, corpus_index, cfg, id_col, broadcast_new
+    )
+    agg = pairs.groupBy("new_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
+    ids = signed_new.select(F.col(id_col).alias("id"))
+    return ids.join(agg, ids["id"] == agg["new_id"], "left").select(
+        "id",
+        F.col("dup_of").isNotNull().alias("is_duplicate"),
+        "dup_of",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_corpus_matches"),
+        "max_est_jaccard",
+    )
 
 
 # ------------------------------------------------------- n-gram jaccard pairs

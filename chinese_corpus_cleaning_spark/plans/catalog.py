@@ -1503,6 +1503,34 @@ def q_curation_total(spark, sf_dir):
 QUERIES["curation_total"] = q_curation_total
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a NEW batch against a PERSISTED corpus signature
+    index (operators/dedup.dedup_incremental) — the continuous-crawl shape:
+    corpus = even doc_ids hashed once via with_minhash (at 100 TB this index
+    is a table the increment probes map-side; the corpus crosses zero
+    shuffles), new batch = odd doc_ids. The generator's near-dup families
+    span consecutive ids, so cross-split matches exist by construction.
+    Labels per new doc: (doc_id, is_duplicate, dup_of = min matching corpus
+    id, n_corpus_matches, max_est_jaccard)."""
+    d = load(spark, sf_dir, "documents")
+    corpus_index = dedup.with_minhash(
+        d.where("doc_id % 2 = 0"), _SMALL_MINHASH
+    )
+    out = dedup.dedup_incremental(
+        d.where("doc_id % 2 = 1"), corpus_index, _SMALL_MINHASH
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "is_duplicate",
+        F.col("dup_of").cast("bigint"),
+        F.col("n_corpus_matches").cast("bigint"),
+        F.round("max_est_jaccard", 9).alias("max_est_jaccard"),
+    )
+
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1569,7 +1597,17 @@ QUERIES["curation_total"] = q_curation_total
 #                             now fed by the composed pipeline instead of
 #                             the raw table, which additionally proves the
 #                             sampler on a derived, filtered input)
+# round-6 late demotion (admitting incremental_dedup into the window):
+#   url_dedup              -> crawl_frontier_dedup (same canonical_url_col
+#                             kernel + min-id first-occurrence dedup over
+#                             the SAME messy-URL decoration; the frontier
+#                             query's per-host n_dup/n_unique counts are
+#                             functions of the canon_url equivalence
+#                             classes, and it additionally exercises the
+#                             salted rollup behind them; per-row canon
+#                             strings stay verified in the local replica)
 _GATE_TAIL = [
+    "url_dedup",
     "stratified_sample",
     "binary_meta",
     "host_rollup",

@@ -1557,6 +1557,39 @@ select doc_id::bigint as doc_id,
   ({MEDIA_W})::int as width,
   ({MEDIA_H})::int as height
 from documents"""
+
+    # incremental dedup: corpus = even doc_ids, new batch = odd doc_ids
+    # (near-dup families span consecutive ids, so cross-split matches exist
+    # by construction); same signature/band CTEs as dedup_minhash_pairs,
+    # candidates restricted to corpus x new, then per-new-doc min-corpus-id
+    # labels — mirrors operators/dedup.dedup_incremental
+    o["incremental_dedup"] = f"""
+with sh as ({_SHINGLES5}),
+sig as ({_SIG}),
+bandt as ({_BANDS}),
+cand as (
+  select distinct c.doc_id as corpus_id, n.doc_id as new_id
+  from bandt c join bandt n using (band_key)
+  where c.doc_id % 2 = 0 and n.doc_id % 2 = 1),
+agree as (
+  select c.new_id, c.corpus_id,
+         sum(case when sa.minhash = sb.minhash then 1 else 0 end) as agr
+  from cand c
+  join sig sa on sa.doc_id = c.corpus_id
+  join sig sb on sb.doc_id = c.new_id and sb.slot = sa.slot
+  group by 1, 2),
+m as (
+  select new_id, min(corpus_id) as dup_of,
+         count(*) as n_corpus_matches, max(agr / {_NH}) as max_est
+  from agree where agr / {_NH} >= {_SMALL_MINHASH.similarity_threshold}
+  group by 1)
+select d.doc_id::bigint as doc_id,
+       m.new_id is not null as is_duplicate,
+       m.dup_of::bigint as dup_of,
+       coalesce(m.n_corpus_matches, 0)::bigint as n_corpus_matches,
+       round(m.max_est, 9) as max_est_jaccard
+from documents d left join m on m.new_id = d.doc_id
+where d.doc_id % 2 = 1"""
     return {k: v.strip() for k, v in o.items()}
 
 

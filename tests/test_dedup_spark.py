@@ -277,3 +277,61 @@ def test_oversized_bucket_degrades_to_star_not_skip(spark):
     comp = {r["id"]: r["component"] for r in reps.collect()}
     assert len({comp[f"d{i:02d}"] for i in range(6)}) == 1
     assert comp["z1"] != comp["d00"]
+
+
+def test_incremental_equals_full_cross_split(spark):
+    """dedup_incremental_pairs(new, index) must equal the uncapped full-run
+    pairs restricted to cross-split (corpus x new) pairs — same candidates
+    (shared band key), same est-Jaccard, for BOTH broadcast_new settings;
+    the labels form must agree with the pair set."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    df = gen.docs_df(spark, 400, partitions=4).select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"), "text"
+    )
+    corpus = df.where("doc_id % 2 = 0")
+    new = df.where("doc_id % 2 = 1")
+    index = dedup.with_minhash(corpus, cfg)
+
+    full = dedup.minhash_similarity_pairs(df, cfg)
+    expected = set()
+    for r in full.where("(id_a + id_b) % 2 = 1").collect():
+        nid, cid = (
+            (r["id_a"], r["id_b"]) if r["id_a"] % 2 == 1 else (r["id_b"], r["id_a"])
+        )
+        expected.add((nid, cid, round(r["est_jaccard"], 9)))
+    assert expected  # near-dup families span consecutive ids by construction
+
+    for bcast in (True, False):
+        inc = dedup.dedup_incremental_pairs(
+            new, index, cfg, broadcast_new=bcast
+        )
+        got = {
+            (r["new_id"], r["corpus_id"], round(r["est_jaccard"], 9))
+            for r in inc.collect()
+        }
+        assert got == expected, f"broadcast_new={bcast}"
+
+    labels = {
+        r["id"]: r
+        for r in dedup.dedup_incremental(new, index, cfg).collect()
+    }
+    assert len(labels) == new.count()
+    by_new: dict = {}
+    for nid, cid, est in expected:
+        cur = by_new.setdefault(nid, {"dup_of": cid, "n": 0, "best": est})
+        cur["dup_of"] = min(cur["dup_of"], cid)
+        cur["n"] += 1
+        cur["best"] = max(cur["best"], est)
+    for nid, r in labels.items():
+        if nid in by_new:
+            assert r["is_duplicate"]
+            assert r["dup_of"] == by_new[nid]["dup_of"]
+            assert r["n_corpus_matches"] == by_new[nid]["n"]
+            assert round(r["max_est_jaccard"], 9) == by_new[nid]["best"]
+        else:
+            assert not r["is_duplicate"]
+            assert r["dup_of"] is None and r["n_corpus_matches"] == 0
