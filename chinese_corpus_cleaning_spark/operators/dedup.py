@@ -74,8 +74,12 @@ def with_minhash(
     cfg: DedupConfig = DedupConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Append ``minhash: array<long>`` and ``band_keys: array<long>``.
+    """Append ``minhash: array<long>`` and ``band_keys: array<long>``
+    (plus ``keep_cols`` passed through — e.g. an event-time column for the
+    streaming probe, which must survive this projection to carry the
+    watermark).
 
     Hybrid plan chosen by measurement (2000-doc corpus, local[8]):
       * shingle extraction + one md5 per distinct shingle: native exprs
@@ -122,6 +126,7 @@ def with_minhash(
         docs.select(
             F.col(id_col),
             F.expr(_shingle_hash_expr(text_col, cfg.shingle_size)).alias("hs"),
+            *(F.col(c) for c in keep_cols),
         )
         .withColumn("minhash", perm_min(F.col("hs")))
         .withColumn("band_keys", F.expr(bands))

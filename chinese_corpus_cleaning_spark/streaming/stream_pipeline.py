@@ -144,6 +144,66 @@ def stateful_host_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    corpus_index: DataFrame,
+    cfg=None,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static near-dup probe — the streaming form of
+    operators/dedup.dedup_incremental_pairs for a continuous crawl: each
+    arriving microbatch is MinHashed in place (with_minhash is a stateless
+    map transform — the same Arrow perm-min UDF and band exprs lift to
+    streaming unchanged) and probed against a STATIC corpus signature index
+    (a ``with_minhash`` table persisted by a prior batch run).
+
+    Join shape per microbatch, all stream-static (the static side is never
+    shuffled by the stream; Catalyst plans each as a broadcast/hash probe of
+    the static relation):
+      1. exploded (new_id, band_key) x static slim (corpus_id, band_key);
+      2. matched corpus ids x static (corpus_id, minhash) to fetch only the
+         candidate signatures — the stream side carries its own signature.
+    A (new_id, corpus_id) pair that collides in several bands would emit
+    once per band, so matches are deduped with
+    ``dropDuplicatesWithinWatermark`` keyed on the pair — state is bounded
+    by the event-time watermark, like streaming_dedup above.
+
+    Returns (new_id, corpus_id, est_jaccard, ts_col) rows with
+    est >= cfg.similarity_threshold; batch≡stream parity is pinned in
+    tests/test_multimodal_streaming.py."""
+    from ..config import DedupConfig
+    from ..operators.dedup import _est_jaccard_exprs, with_minhash
+
+    cfg = cfg or DedupConfig()
+    signed = with_minhash(stream, cfg, id_col, text_col, keep_cols=(ts_col,))
+    new_bands = signed.select(
+        F.col(id_col).alias("new_id"),
+        F.col(ts_col),
+        F.col("minhash").alias("minhash_b"),
+        F.explode("band_keys").alias("band_key"),
+    )
+    corpus_bands = corpus_index.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode("band_keys").alias("band_key"),
+    )
+    corpus_sigs = corpus_index.select(
+        F.col(id_col).alias("corpus_id"), F.col("minhash").alias("minhash_a")
+    )
+    cond, est_col = _est_jaccard_exprs(cfg)
+    return (
+        new_bands.join(corpus_bands, "band_key")
+        .join(corpus_sigs, "corpus_id")
+        .where(cond)
+        .withColumn("est_jaccard", est_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", "est_jaccard", ts_col)
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exact dedup across microbatches: the first arrival of each
     content hash passes, later copies are dropped. State is bounded by the

@@ -247,3 +247,50 @@ def test_media_dims_spark(spark, media_df):
     # truncated PNG signature — header kernel must return NULLs, not rows
     # with garbage dims
     assert junk["a"]["width"] is None and junk["b"]["width"] is None
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Stream-static incremental dedup: the streamed new batch probed
+    against a static corpus signature index must produce EXACTLY the batch
+    dedup_incremental_pairs set (ids, est_jaccard values)."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+    from chinese_corpus_cleaning_spark.operators import dedup
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    in_dir = str(tmp_path / "inc_in")
+    chk = str(tmp_path / "inc_chk")
+    pdf = gen.docs_pandas(300)
+    corpus_pdf, new_pdf = pdf.iloc[::2], pdf.iloc[1::2]
+    corpus_index = dedup.with_minhash(
+        spark.createDataFrame(corpus_pdf), cfg, id_col="url"
+    ).localCheckpoint(eager=True)
+    new_df = spark.createDataFrame(new_pdf)
+    new_df.write.parquet(in_dir)
+
+    expected = {
+        (r["new_id"], r["corpus_id"], round(r["est_jaccard"], 9))
+        for r in dedup.dedup_incremental_pairs(
+            new_df, corpus_index, cfg, id_col="url"
+        ).collect()
+    }
+    assert expected  # near-dup families span adjacent rows by construction
+
+    stream = stream_pipeline.stream_from_directory(spark, in_dir)
+    matches = stream_pipeline.streaming_incremental_dedup(
+        stream, corpus_index, cfg
+    )
+    q = (
+        matches.writeStream.format("memory")
+        .queryName("ccc_inc_dedup")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["new_id"], r["corpus_id"], round(r["est_jaccard"], 9))
+        for r in spark.sql("select * from ccc_inc_dedup").collect()
+    }
+    assert got == expected
