@@ -166,3 +166,38 @@ def test_stratified_sample_two_bounded_exchanges(spark):
     assert len(hashed) == 2, hashed
     assert any("__salt" in h for h in hashed)  # phase 1 keys on the salt
     assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_incremental_dedup_broadcasts_new_side(spark):
+    """With broadcast_new=True (the small-increment production default) both
+    joins against the corpus index must be broadcast joins probing the NEW
+    side — the corpus's exploded band keys and signatures must appear under
+    zero shuffle Exchanges anywhere in the plan (the increment is what
+    moves, never the corpus)."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+    from chinese_corpus_cleaning_spark.operators import dedup
+    from chinese_corpus_cleaning_spark.sources import gen
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    df = gen.docs_df(spark, 200, partitions=4).select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"), "text"
+    )
+    index = dedup.with_minhash(df.where("doc_id % 2 = 0"), cfg)
+    pairs = dedup.dedup_incremental_pairs(
+        df.where("doc_id % 2 = 1"), index, cfg, broadcast_new=True
+    )
+    plan = _explained(pairs)
+    assert "BroadcastHashJoin" in plan, plan
+    # the only permissible Exchanges are broadcast ones (of the new side)
+    # plus the candidate distinct's hash exchange over slim id pairs; no
+    # shuffle Exchange may carry minhash/band_keys of the corpus scan
+    shuffle_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert all(
+        "minhash" not in ln and "band_keys" not in ln for ln in shuffle_lines
+    ), plan
