@@ -160,11 +160,19 @@ def lsh_candidate_pairs(
     one connected component through the est-Jaccard filter at linear cost
     (members not est-similar to the hub specifically can still lose edges —
     the residual approximation; ``n_hubs`` hash-class hubs give each member
-    that many est-match chances, no per-bucket sort so skew-safe). Measured
-    (BENCH/band_geometry_ab.py + BASELINE.md round-5 notes): at 100k docs
-    cap 64 finds 22,445 (4-hub) / 22,394 (1-hub) / 22,357 (skip) of
-    cap-256's 22,700 duplicates with ~4.5x fewer candidates; at 1.6M docs
-    4-hub recovers 66% of the 1-hub cap's -7.4% recall gap (-2.5% net). The
+    that many est-match chances, no per-bucket sort so skew-safe).
+
+    ABSOLUTE recall vs the exact uncapped form (BENCH/dedup_recall_abs.py,
+    BASELINE.md round-6 notes, production 128/16/0.85 config): the capped
+    pair surface is a proven SUBSET of the exact form's; post-CC duplicate-
+    doc recall 98.78% at 100k / 97.65% at 400k for 65x / 262x fewer
+    candidate pairs, and the ground-truth near-dup family pairs detected
+    are IDENTICAL to the exact form's at both scales (the residual doc gap
+    is confined to giant-clique members that est-match no hub). Relative
+    history (BENCH/band_geometry_ab.py + BASELINE.md round-5 notes): at
+    100k docs cap 64 finds 22,445 (4-hub) / 22,394 (1-hub) / 22,357 (skip)
+    of cap-256's 22,700 duplicates with ~4.5x fewer candidates; at 1.6M
+    docs 4-hub recovers 66% of the 1-hub cap's -7.4% recall gap. The
     rejected alternative — widening bands to 16 rows (128/8) — cut the same
     candidate volume but cost -3.8% duplicates, because it flattens the
     whole recall curve (P(candidate | J=0.85) drops 0.99 -> 0.46) instead
