@@ -95,7 +95,6 @@ def pii_rules(dialect: str = "re2") -> tuple[tuple[str, str, str], ...]:
 
 
 PII_RULES = pii_rules("re2")
-PII_URL_RE, PII_ID_RE, PII_PHONE_RE = (p for _, p, _ in PII_RULES)
 
 # re.ASCII pins \b to the ASCII-word semantics RE2 uses (see module doc)
 _COMPILED = tuple(
@@ -167,7 +166,11 @@ def pii_sql_chain(expr: str) -> dict[str, str]:
     out = {}
     for reason, pat, tok in PII_RULES:
         esc = pat.replace("'", "''")
-        out[f"n_{reason}"] = f"len(regexp_extract_all({t}, '{esc}'))::bigint"
+        # coalesce: NULL text must count 0, matching mask_pii and
+        # pii_columns (which coalesces regexp_count(NULL) to 0)
+        out[f"n_{reason}"] = (
+            f"coalesce(len(regexp_extract_all({t}, '{esc}')), 0)::bigint"
+        )
         t = f"regexp_replace({t}, '{esc}', '{tok}', 'g')"
     out["pii_text"] = t
     return out

@@ -1513,9 +1513,12 @@ def q_incremental_dedup(spark, sf_dir):
     Labels per new doc: (doc_id, is_duplicate, dup_of = min matching corpus
     id, n_corpus_matches, max_est_jaccard)."""
     d = load(spark, sf_dir, "documents")
+    # localCheckpoint: dedup_incremental scans the index twice (band probe +
+    # signature fetch); without materialization the corpus MinHash would
+    # recompute per scan — the "hashed once" contract of a persisted index
     corpus_index = dedup.with_minhash(
         d.where("doc_id % 2 = 0"), _SMALL_MINHASH
-    )
+    ).localCheckpoint(eager=True)
     out = dedup.dedup_incremental(
         d.where("doc_id % 2 = 1"), corpus_index, _SMALL_MINHASH
     )

@@ -104,11 +104,10 @@ def test_duckdb_matches_python_twin():
         "from (select ?::varchar as t)"
     )
     for c in CASES:
-        if c is None:
-            continue
         dm, n_p, n_i, n_u = con.execute(sql, [c]).fetchone()
         m, _, counts = mask_pii(c)
         assert dm == m, c
+        # NULL text counts 0 (coalesced), matching mask_pii/pii_columns
         assert (n_p, n_i, n_u) == (
             counts["phone"],
             counts["id_number"],
