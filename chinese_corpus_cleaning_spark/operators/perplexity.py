@@ -197,6 +197,84 @@ def perplexity_udf(model_bc):
     return ppl
 
 
+def ppl_buckets(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    n: int = 3,
+    alpha: float = 0.1,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning by per-language LM
+    perplexity tertiles (Wenzek et al. 2020: score each document with an
+    n-gram LM, split each language's corpus at the 1/3 and 2/3 perplexity
+    cutoffs; "head" = most fluent third). The reference's banded ppl score
+    (§2.9, lmppl_perplexity.py) keeps/drops per-doc; this adds the standard
+    corpus-level partitioning a training-data pipeline samples from.
+
+    Cutoff arithmetic is deliberately INTEGER-EXACT, not quantile
+    interpolation: perplexities are rounded to 2 dp (the repo's published
+    ppl precision), histogrammed per group, and the cutoff is the smallest
+    rounded ppl whose cumulative count reaches j/3 of the group
+    (``3*cum >= j*n`` on bigint counts — no float quantile formula whose
+    last-bit rounding could flip a boundary doc between engines). Docs in
+    the cutoff bin all land on the lower side, exactly like CCNet's
+    histogram-bin cutoffs.
+
+    Scale shape (100 TB): the corpus-sized stages are the ppl scorer
+    (perplexity_relational — broadcast-model map-side join, or shuffle join
+    when the model outgrows broadcast), one slim (id, group) join to attach
+    the group key, and one hash aggregation to the (group, rounded-ppl)
+    histogram — map-side partials bound its shuffle by the number of
+    distinct bins, not docs. The cumulative window runs over the histogram
+    only (|groups| x |bins| rows), and the three-row-per-group cutoff table
+    broadcasts back. Nothing sorts or windows over per-document data.
+
+    Returns (id, group, ppl [2 dp], neg_avg_log2p, ppl_bucket, t_head,
+    t_middle); docs whose text yields no n-grams (NULL text) are absent,
+    matching perplexity_relational.
+    """
+    from pyspark.sql import Window
+
+    if model is None:
+        model = ngram_counts(docs, n, text_col)
+    scored = perplexity_relational(
+        docs, model, n=n, alpha=alpha, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    ).withColumn("ppl", F.round("ppl", 2))
+    scored = scored.join(docs.select(id_col, group_col), id_col)
+    hist = scored.groupBy(group_col, "ppl").agg(F.count(F.lit(1)).alias("c"))
+    # histogram bins are distinct per group, so ROWS == RANGE here; the
+    # explicit ROWS frame keeps both engines' default-frame semantics out
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("ppl")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "ntot", F.sum("c").over(Window.partitionBy(group_col))
+    )
+    cutoffs = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("ntot"), F.col("ppl"))
+        ).alias("t_head"),
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("ntot") * 2, F.col("ppl"))
+        ).alias("t_middle"),
+    )
+    return scored.join(F.broadcast(cutoffs), group_col).withColumn(
+        "ppl_bucket",
+        F.when(F.col("ppl") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).select(
+        id_col, group_col, "ppl", "neg_avg_log2p", "ppl_bucket",
+        "t_head", "t_middle",
+    )
+
+
 def ppl_score_col(ppl_col: str, threshold: float = 500.0, max_ppl: float = 10000.0):
     """Native Column for the banded perplexity score (SURVEY.md §2.9)."""
     capped = F.least(F.col(ppl_col), F.lit(max_ppl))

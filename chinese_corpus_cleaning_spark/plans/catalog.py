@@ -1534,6 +1534,29 @@ def q_incremental_dedup(spark, sf_dir):
 QUERIES["incremental_dedup"] = q_incremental_dedup
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity partitioning (operators/perplexity.
+    ppl_buckets, Wenzek et al. 2020): per-language tertile cutoffs on the
+    2-dp ppl histogram with integer-exact cumulative arithmetic, labels via
+    a broadcast cutoff join. Subsumes ngram_perplexity's surface: the same
+    trigram self-model and scorer chain, with (doc_id, ppl@2dp,
+    neg_avg_log2p@7dp) a column subset of this output."""
+    docs = load(spark, sf_dir, "documents")
+    out = perplexity.ppl_buckets(docs, n=3)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "lang",
+        "ppl",
+        F.round("neg_avg_log2p", 7).alias("neg_avg_log2p"),
+        "ppl_bucket",
+        "t_head",
+        "t_middle",
+    )
+
+
+QUERIES["ppl_buckets"] = q_ppl_buckets
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1547,7 +1570,8 @@ QUERIES["incremental_dedup"] = q_incremental_dedup
 #   simhash                -> simhash_near_dup_pairs (consumes the signatures)
 #   ann_lsh_buckets        -> ann_topk_lsh (consumes the buckets)
 #   ivf_cells              -> ivf_topk (consumes the cells)
-#   ngram_lm_train         -> ngram_lm_train_pruned (+ ngram_perplexity)
+#   ngram_lm_train         -> ngram_lm_train_pruned (+ ppl_buckets, which
+#                             consumes the trained counts via its scorer)
 #   dedup_tokens           -> dedup_lines (same first-occurrence J4 kernel)
 #   segment_sample         -> ppl_preprocess (same P7 sampling kernel)
 #   top_orders_by_revenue  -> part_supplier_revenue + lineitem_pricing_summary
@@ -1609,7 +1633,15 @@ QUERIES["incremental_dedup"] = q_incremental_dedup
 #                             classes, and it additionally exercises the
 #                             salted rollup behind them; per-row canon
 #                             strings stay verified in the local replica)
+# round-6 late demotion (admitting ppl_buckets into the window):
+#   ngram_perplexity       -> ppl_buckets (the identical trigram self-model
+#                             + perplexity_relational scorer chain; its
+#                             full output (doc_id, ppl@2dp,
+#                             neg_avg_log2p@7dp) is a column SUBSET of
+#                             ppl_buckets' gated output, which additionally
+#                             verifies the CCNet tertile cutoffs and labels)
 _GATE_TAIL = [
+    "ngram_perplexity",
     "url_dedup",
     "stratified_sample",
     "binary_meta",

@@ -463,6 +463,51 @@ select doc_id::bigint as doc_id, round(pow(2.0, -avg(log2p)), 2) as ppl,
        round(-avg(log2p), 7) as neg_avg_log2p
 from scored group by doc_id"""
 
+    # CCNet tertile partitioning: same ppl chain, then an integer-exact
+    # histogram-cutoff (3*cum >= j*n on counts — no quantile interpolation,
+    # see operators/perplexity.ppl_buckets). Bins are distinct per lang so
+    # the explicit ROWS frame equals RANGE on both engines.
+    o["ppl_buckets"] = f"""
+with toks as (select doc_id, ({ngram_toks}) as t from documents),
+grams as (
+  select doc_id, unnest(list_transform(generate_series(3, len(t)),
+    i -> {{'context': array_to_string(t[i-2 : i-1], chr(31)), 'word': t[i]}}),
+    recursive := true)
+  from toks),
+model as (select context, word, count(*) as cnt from grams group by 1, 2),
+ctx as (select context, sum(cnt) as ctx_cnt from model group by 1),
+v as (select count(distinct tok) as v from (select unnest(string_split(text, ' ')) as tok from documents)),
+sc as (
+  select g.doc_id,
+    greatest(log2((coalesce(m.cnt, 0) + 0.1) / (coalesce(c.ctx_cnt, 0) + 0.1 * v.v)), -100.0) as log2p
+  from grams g
+  left join model m on m.context = g.context and m.word = g.word
+  left join ctx c on c.context = g.context
+  cross join v),
+ppl as (
+  select doc_id, round(pow(2.0, -avg(log2p)), 2) as ppl,
+         round(-avg(log2p), 7) as neg_avg_log2p
+  from sc group by doc_id),
+pl as (select p.*, d.lang from ppl p join documents d using (doc_id)),
+hist as (select lang, ppl, count(*) as c from pl group by 1, 2),
+cum as (
+  select lang, ppl,
+    sum(c) over (partition by lang order by ppl
+                 rows between unbounded preceding and current row) as cum,
+    sum(c) over (partition by lang) as ntot
+  from hist),
+cut as (
+  select lang,
+    min(case when 3 * cum >= ntot then ppl end) as t_head,
+    min(case when 3 * cum >= 2 * ntot then ppl end) as t_middle
+  from cum group by lang)
+select pl.doc_id::bigint as doc_id, pl.lang, pl.ppl, pl.neg_avg_log2p,
+  case when pl.ppl <= cut.t_head then 'head'
+       when pl.ppl <= cut.t_middle then 'middle'
+       else 'tail' end as ppl_bucket,
+  cut.t_head, cut.t_middle
+from pl join cut using (lang)"""
+
     o["cosine_topk"] = """
 with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
 n as (select vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) as nrm from v),

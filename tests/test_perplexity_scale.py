@@ -100,3 +100,31 @@ def test_broadcast_udf_matches_relational(spark, docs):
     for k, v in rel.items():
         assert got[k] == pytest.approx(v, rel=1e-9), k
     model_bc.unpersist()
+
+
+def test_ppl_buckets_ccnet_tertiles(spark, docs):
+    """CCNet head/middle/tail partitioning: cutoffs must equal a pure-pandas
+    recomputation of the integer-exact histogram rule, labels must be the
+    threshold comparisons, and 'head' must be the MINIMAL histogram prefix
+    reaching a third of the group (docs in the cutoff bin land low-side)."""
+    import numpy as np
+
+    d = gen.docs_df(spark, 300, partitions=4).select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    )
+    out = perplexity.ppl_buckets(d, n=3).toPandas()
+    assert len(out) == 300  # no doc lost by the slim group join
+    for lang, g in out.groupby("lang"):
+        n = len(g)
+        uniq, counts = np.unique(g["ppl"].values, return_counts=True)
+        cum = counts.cumsum()
+        t1 = uniq[np.argmax(3 * cum >= n)]
+        t2 = uniq[np.argmax(3 * cum >= 2 * n)]
+        assert (g["t_head"] == t1).all() and (g["t_middle"] == t2).all(), lang
+        exp = np.where(
+            g["ppl"] <= t1, "head", np.where(g["ppl"] <= t2, "middle", "tail")
+        )
+        assert (g["ppl_bucket"].values == exp).all(), lang
+        head_n = int((g["ppl_bucket"] == "head").sum())
+        cut_bin = int(counts[uniq == t1][0])
+        assert 3 * head_n >= n and 3 * (head_n - cut_bin) < n, lang
