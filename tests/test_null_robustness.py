@@ -176,3 +176,25 @@ def test_boilerplate_ops_survive_nulls(spark, nullish):
     # span-dup already documents NULL -> zero-fingerprint row; pin it
     sd = {r["doc_id"]: r for r in textanalysis.cross_doc_span_dup(nullish).collect()}
     assert sd[1]["n_fingerprints"] == 0 and sd[1]["dup_span_frac"] == 0.0
+
+
+def test_ppl_buckets_survive_nulls(spark):
+    """ppl_buckets: NULL-text docs vanish from the scorer (documented
+    perplexity_relational semantics — explode of a null gram array) and the
+    tertile arithmetic must run cleanly on what remains."""
+    d = spark.createDataFrame(
+        [
+            (1, None, "zh"),
+            (2, "alpha beta gamma", "zh"),
+            (3, "alpha beta gamma", "zh"),
+            (4, "delta epsilon zeta eta", "zh"),
+            (5, "one two three", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in perplexity.ppl_buckets(d, n=3).collect()}
+    assert set(out) == {2, 3, 4, 5}  # null-text doc absent, not crashed
+    assert all(r["ppl_bucket"] in ("head", "middle", "tail") for r in out.values())
+    # a single-doc group is its own head (cutoff = its own ppl)
+    assert out[5]["ppl_bucket"] == "head"
+    assert out[5]["t_head"] == out[5]["ppl"]

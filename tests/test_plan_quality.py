@@ -201,3 +201,20 @@ def test_incremental_dedup_broadcasts_new_side(spark):
     assert all(
         "minhash" not in ln and "band_keys" not in ln for ln in shuffle_lines
     ), plan
+
+
+def test_ppl_buckets_no_global_sort_or_cartesian(spark):
+    """ppl_buckets' windows must run over the (group, binned-ppl) histogram
+    only — the per-document data may hash-shuffle (scorer agg, histogram
+    partials) but must never range-partition (global sort) or cross join;
+    the cutoff table must come back as a broadcast."""
+    from chinese_corpus_cleaning_spark.operators import perplexity
+    from chinese_corpus_cleaning_spark.sources import gen
+
+    d = gen.docs_df(spark, 120, partitions=4).select(
+        F.col("url").alias("doc_id"), "text", "lang"
+    )
+    plan = _explained(perplexity.ppl_buckets(d, n=3))
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
