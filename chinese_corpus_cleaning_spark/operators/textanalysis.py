@@ -705,3 +705,63 @@ def crawl_frontier_dedup(
         .agg(F.sum("pu").alias("n_urls"), F.sum("pd").alias("n_dup"))
         .withColumn("n_unique", F.col("n_urls") - F.col("n_dup"))
     )
+
+
+def url_blocklist_filter(
+    docs: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    broadcast_list: bool = True,
+) -> DataFrame:
+    """UT1-style domain blocklist filter — the first screening stage of
+    RefinedWeb/FineWeb-class webtext pipelines (the UT1 "adult" category
+    alone carries millions of domains). A document is blocked when its
+    URL's host, or ANY parent domain of it, is in the blocklist:
+    ``tracker.ads.example.com`` is blocked by a list entry
+    ``ads.example.com``. Matching is on lowercased hosts with the port
+    excluded (native ``parse_url(url, 'HOST')``).
+
+    Shape (100 TB): the host's dot-suffix chain is exploded into slim
+    (id, suffix) rows — bounded by the label count (~4-6 per host), never
+    by text — then inner-joined against the broadcast blocklist and
+    reduced to min(matched domain) per doc (deterministic when several
+    levels match); the flag left-joins back on the id. With
+    ``broadcast_list=False`` the join strategy is left to Catalyst for
+    blocklists beyond broadcast budget — the suffix table shuffles on the
+    domain key, still without any text column.
+
+    ``blocklist``: a one-column DataFrame (``domain``) or a Python
+    iterable of domain strings. NULL / malformed URLs yield a NULL host
+    (``try_parse_url`` — a real crawl always contains broken URLs; the
+    strict form would fail the job) and are never blocked: the suffix
+    array of a NULL host is NULL, so the explode drops them from the
+    probe, not the output.
+
+    Returns docs + (host, blocked_domain, is_blocked).
+    """
+    if not isinstance(blocklist, DataFrame):
+        bl = docs.sparkSession.createDataFrame(
+            [(d,) for d in sorted(set(blocklist))], "domain string"
+        )
+    else:
+        bl = blocklist.select(F.col("domain"))
+    if broadcast_list:
+        bl = F.broadcast(bl)
+    hosted = docs.withColumn(
+        "host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    suffixes = (
+        "transform(sequence(1, size(split(host, '[.]'))), "
+        "i -> array_join(slice(split(host, '[.]'), i, "
+        "size(split(host, '[.]')) - i + 1), '.'))"
+    )
+    hits = (
+        hosted.select(id_col, F.explode(F.expr(suffixes)).alias("dom"))
+        .join(bl, F.col("dom") == F.col("domain"), "inner")
+        .groupBy(id_col)
+        .agg(F.min("domain").alias("blocked_domain"))
+    )
+    return hosted.join(hits, id_col, "left").withColumn(
+        "is_blocked", F.col("blocked_domain").isNotNull()
+    )

@@ -1557,6 +1557,41 @@ def q_ppl_buckets(spark, sf_dir):
 QUERIES["ppl_buckets"] = q_ppl_buckets
 
 
+_BL_DECOR = (
+    "case when doc_id % 6 = 0 then 'https://ads.example.com/x/' || cast(doc_id as string) "
+    "when doc_id % 6 = 1 then 'https://tracker.host' || cast(doc_id % 7 as string)"
+    " || '.example.com/y/' || cast(doc_id as string) "
+    "when doc_id % 6 = 2 then 'https://host' || cast(doc_id % 7 as string)"
+    " || '.example.com/p/' || cast(doc_id as string) "
+    "when doc_id % 6 = 3 then 'HTTPS://ADS.EXAMPLE.COM:443/u/' || cast(doc_id as string) "
+    "when doc_id % 6 = 4 then 'https://badsite' || cast(doc_id % 3 as string)"
+    " || '.org/z/' || cast(doc_id as string) "
+    "else 'not a url ' || cast(doc_id as string) end"
+)
+
+_BLOCKLIST = ["ads.example.com", "host3.example.com", "badsite1.org"]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist filter (operators/textanalysis.
+    url_blocklist_filter). Decoration: %6==0 exact blocklist host; %6==1
+    blocked only via PARENT-suffix when doc_id%7==3 (tracker.host3...);
+    %6==2 exact host3 when doc_id%7==3, clean otherwise; %6==3 upper-case
+    scheme/host + :443 port must still block; %6==4 blocked when
+    doc_id%3==1 (badsite1.org); %6==5 malformed URL -> NULL host, never
+    blocked (try_parse_url tolerance)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BL_DECOR).alias("url")
+    )
+    out = textanalysis.url_blocklist_filter(docs, _BLOCKLIST)
+    return out.select(
+        F.col("doc_id").cast("bigint"), "host", "blocked_domain", "is_blocked"
+    )
+
+
+QUERIES["url_blocklist"] = q_url_blocklist
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1640,8 +1675,18 @@ QUERIES["ppl_buckets"] = q_ppl_buckets
 #                             neg_avg_log2p@7dp) is a column SUBSET of
 #                             ppl_buckets' gated output, which additionally
 #                             verifies the CCNet tertile cutoffs and labels)
+# round-6 late demotion (admitting url_blocklist into the window):
+#   cosine_topk            -> embedding_cluster_score (the same exact
+#                             all-pairs cosine kernel — norms, dot product,
+#                             self-pair exclusion — feeds its dup_ratio) +
+#                             ann_topk_lsh / ivf_topk (the same per-vector
+#                             rank-over-cosine top-k, in the production
+#                             ANN forms; cosine_topk is the labeled
+#                             oracle-spec brute-force twin and stays
+#                             verified per-row in the local replica)
 _GATE_TAIL = [
     "ngram_perplexity",
+    "cosine_topk",
     "url_dedup",
     "stratified_sample",
     "binary_meta",

@@ -1635,6 +1635,33 @@ select d.doc_id::bigint as doc_id,
        round(m.max_est, 9) as max_est_jaccard
 from documents d left join m on m.new_id = d.doc_id
 where d.doc_id % 2 = 1"""
+
+    # UT1-style domain blocklist: host via regex (nullif '' mirrors Spark's
+    # try_parse_url NULL on malformed URLs; class stops at ':' to drop the
+    # port), dot-suffix unnest, min matched domain per doc
+    from .catalog import _BL_DECOR, _BLOCKLIST
+
+    bl_list = ", ".join(f"'{d}'" for d in sorted(set(_BLOCKLIST)))
+    o["url_blocklist"] = f"""
+with d as (select doc_id, {_BL_DECOR} as url from documents),
+u as (
+  select doc_id, nullif(lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '') as host
+  from d),
+bl as (select unnest([{bl_list}]) as domain),
+sfx as (
+  select doc_id, unnest(list_transform(
+    generate_series(1, len(string_split(host, '.'))),
+    i -> array_to_string(list_slice(string_split(host, '.'), i,
+                                    len(string_split(host, '.'))), '.')))
+    as dom
+  from u),
+m as (
+  select doc_id, min(domain) as blocked_domain
+  from sfx join bl on sfx.dom = bl.domain group by doc_id)
+select u.doc_id::bigint as doc_id, u.host, m.blocked_domain,
+       (m.blocked_domain is not null) as is_blocked
+from u left join m using (doc_id)"""
     return {k: v.strip() for k, v in o.items()}
 
 

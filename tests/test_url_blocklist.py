@@ -1,0 +1,47 @@
+"""url_blocklist_filter: UT1-style domain blocklist semantics — exact host,
+parent-domain suffix, case/port normalization, malformed-URL tolerance."""
+
+from __future__ import annotations
+
+from chinese_corpus_cleaning_spark.operators.textanalysis import (
+    url_blocklist_filter,
+)
+
+
+def test_blocklist_suffix_and_tolerance(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/x"),
+            (2, "https://tracker.ads.example.com/y"),  # parent-suffix hit
+            (3, "https://host2.example.com/p"),  # clean
+            (4, "HTTPS://ADS.EXAMPLE.COM:443/upper"),  # case + port
+            (5, "https://badsite.org/z"),
+            (6, None),
+            (7, "not a url"),  # try_parse_url -> NULL host
+            (8, "https://example.com.evil.net/q"),  # suffix is evil.net side
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in url_blocklist_filter(
+            d, ["ads.example.com", "badsite.org"]
+        ).collect()
+    }
+    assert len(out) == 8  # nothing dropped, flags attached
+    blocked = {k for k, r in out.items() if r["is_blocked"]}
+    assert blocked == {1, 2, 4, 5}
+    assert out[2]["blocked_domain"] == "ads.example.com"
+    assert out[4]["host"] == "ads.example.com"  # lowered, port stripped
+    assert out[7]["host"] is None and not out[7]["is_blocked"]
+    # 'example.com' inside the HOST PREFIX must not match (suffixes only)
+    assert not out[8]["is_blocked"]
+
+
+def test_blocklist_min_domain_deterministic(spark):
+    # both example.com and a.example.com match -> min() picks a.example.com
+    d = spark.createDataFrame(
+        [(1, "https://x.a.example.com/p")], "doc_id long, url string"
+    )
+    r = url_blocklist_filter(d, ["example.com", "a.example.com"]).first()
+    assert r["blocked_domain"] == "a.example.com"
