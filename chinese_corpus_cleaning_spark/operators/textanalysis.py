@@ -765,3 +765,52 @@ def url_blocklist_filter(
     return hosted.join(hits, id_col, "left").withColumn(
         "is_blocked", F.col("blocked_domain").isNotNull()
     )
+
+
+# C4's terminal-punctuation set, extended with the CJK full-width marks a
+# Chinese corpus needs (。！？ and closing quotes); class syntax valid in
+# Java regex and RE2 alike.
+C4_TERMINAL_RE = '[.!?"\\u3002\\uFF01\\uFF1F\\u201D\\u300D]$'
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_lines_kept: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020, the C4 pipeline):
+    keep only lines that END in a terminal punctuation mark (extended with
+    the CJK full-width set) and carry at least ``min_words`` whitespace
+    words; flag pages that keep fewer than ``min_lines_kept`` lines or
+    contain the C4 page-level poison markers ("lorem ipsum", a curly
+    brace — code, and a "javascript" line — script rubble).
+
+    Pure native per-document projection: split -> filter(lambda with
+    regexp_like + size(split)) -> array_join, no shuffle, no UDF — the
+    whole filter rides whole-stage codegen and composes map-side with the
+    rest of the cleaning chain at any scale.
+
+    Returns (id, clean_text, n_lines, n_lines_kept, page_keep).
+    NULL text behaves as '' (0 lines kept, page_keep false), matching the
+    repo's other line operators.
+    """
+    t = f"coalesce({text_col}, '')"
+    lines = f"split({t}, '\\n')"
+    kept = (
+        f"filter({lines}, l -> size(split(trim(l), ' ')) >= {min_words} "
+        f"and trim(l) rlike '{C4_TERMINAL_RE}' "
+        f"and not lower(l) rlike 'javascript')"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
+        F.expr(f"size({lines})").alias("n_lines"),
+        F.expr(f"size({kept})").alias("n_lines_kept"),
+        F.expr(
+            f"size({kept}) >= {min_lines_kept} "
+            f"and not lower({t}) rlike 'lorem ipsum' "
+            f"and not {t} rlike '[{{]'"
+        ).alias("page_keep"),
+    )

@@ -1592,6 +1592,48 @@ def q_url_blocklist(spark, sf_dir):
 QUERIES["url_blocklist"] = q_url_blocklist
 
 
+_C4_TOKS = "split(text, ' ')"
+# six deterministic lines per doc: two sliced keepers, a CJK-terminal
+# keeper, a min-words reject, a no-terminal-punct reject, and a %4 page
+# variant (lorem-ipsum / brace / javascript-line / clean)
+_C4_DECOR = (
+    "concat_ws(chr(10), "
+    f"array_join(slice({_C4_TOKS}, 1, 4), ' ') || ' end.', "
+    f"array_join(slice({_C4_TOKS}, 5, 4), ' ') || ' tail!', "
+    "'中文 行 结束 。', "
+    "'too short.', "
+    f"array_join(slice({_C4_TOKS}, 9, 3), ' '), "
+    "case cast(doc_id % 4 as int) when 0 then 'has lorem ipsum mark.' "
+    "when 1 then 'brace { marker here.' "
+    "when 2 then 'enable javascript now please.' "
+    "else 'extra fine sentence here.' end)"
+)
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level cleanup (operators/textanalysis.c4_line_filter,
+    Raffel et al. 2020): terminal-punctuation line keep (CJK marks
+    included), min-words-per-line, page flags for lorem-ipsum / brace /
+    too-few-kept-lines. Decoration: %4==0 poisoned by 'lorem ipsum',
+    %4==1 by '{' (its brace line still passes the LINE filter — page-level
+    rejection only), %4==2 loses its javascript line to the line filter
+    (3 keepers left -> page_keep true), %4==3 clean with 4 keepers."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_DECOR).alias("text")
+    )
+    out = textanalysis.c4_line_filter(d)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "clean_text",
+        F.col("n_lines").cast("bigint"),
+        F.col("n_lines_kept").cast("bigint"),
+        "page_keep",
+    )
+
+
+QUERIES["c4_line_filter"] = q_c4_line_filter
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1684,9 +1726,20 @@ QUERIES["url_blocklist"] = q_url_blocklist
 #                             ANN forms; cosine_topk is the labeled
 #                             oracle-spec brute-force twin and stays
 #                             verified per-row in the local replica)
+# round-6 late demotion (admitting c4_line_filter into the window):
+#   token_stats            -> its three columns are the native
+#                             split/size/aggregate-lambda kernels the
+#                             window exercises constantly: n_tokens is
+#                             langid_stopwords' column of the same name
+#                             (same split), distinct/array counting runs
+#                             inside repetition_signals and vocab_topk,
+#                             and the aggregate-lambda length arithmetic
+#                             is rule_avg_line_length's kernel; per-row
+#                             values stay verified in the local replica
 _GATE_TAIL = [
     "ngram_perplexity",
     "cosine_topk",
+    "token_stats",
     "url_dedup",
     "stratified_sample",
     "binary_meta",

@@ -1662,6 +1662,41 @@ m as (
 select u.doc_id::bigint as doc_id, u.host, m.blocked_domain,
        (m.blocked_domain is not null) as is_blocked
 from u left join m using (doc_id)"""
+
+    # C4 line filter: the decoration re-spelled in DuckDB (NB Spark's
+    # slice(arr, start, LENGTH) == DuckDB's list_slice(l, begin,
+    # INCLUSIVE-END) — 1,4 -> 1,4; 5,4 -> 5,8; 9,3 -> 9,11); the terminal
+    # class embeds the CJK marks as literal UTF-8 (RE2 and Java agree on
+    # literal chars in classes)
+    c4_toks = "string_split(text, ' ')"
+    c4_decor = (
+        "concat_ws(chr(10), "
+        f"array_to_string(list_slice({c4_toks}, 1, 4), ' ') || ' end.', "
+        f"array_to_string(list_slice({c4_toks}, 5, 8), ' ') || ' tail!', "
+        "'中文 行 结束 。', "
+        "'too short.', "
+        f"array_to_string(list_slice({c4_toks}, 9, 11), ' '), "
+        "case (doc_id % 4) when 0 then 'has lorem ipsum mark.' "
+        "when 1 then 'brace { marker here.' "
+        "when 2 then 'enable javascript now please.' "
+        "else 'extra fine sentence here.' end)"
+    )
+    c4_kept = (
+        "list_filter(string_split(t, chr(10)), l -> "
+        "len(string_split(trim(l), ' ')) >= 3 "
+        "and regexp_matches(trim(l), '[.!?\"。！？”」]$') "
+        "and not regexp_matches(lower(l), 'javascript'))"
+    )
+    o["c4_line_filter"] = f"""
+with d as (select doc_id, {c4_decor} as t from documents),
+k as (select doc_id, t, {c4_kept} as kept from d)
+select doc_id::bigint as doc_id,
+  array_to_string(kept, chr(10)) as clean_text,
+  len(string_split(t, chr(10)))::bigint as n_lines,
+  len(kept)::bigint as n_lines_kept,
+  (len(kept) >= 3 and not regexp_matches(lower(t), 'lorem ipsum')
+   and not regexp_matches(t, '[{{]')) as page_keep
+from k"""
     return {k: v.strip() for k, v in o.items()}
 
 

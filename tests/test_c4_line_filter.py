@@ -1,0 +1,45 @@
+"""c4_line_filter: C4-style line cleanup semantics (Raffel et al. 2020) —
+terminal punctuation (incl. CJK), min words per line, page-level flags."""
+
+from __future__ import annotations
+
+from chinese_corpus_cleaning_spark.operators.textanalysis import (
+    c4_line_filter,
+)
+
+
+def test_c4_line_and_page_semantics(spark):
+    d = spark.createDataFrame(
+        [
+            (
+                1,
+                "This is a good sentence.\nshort.\nno terminal punct here\n"
+                "Another fine long sentence!\nthird keeper sentence here?",
+            ),
+            (2, "这 是 中文 句子 。\n另 一 个 好 句子 ！\n短 。\n第三 个 句子 吗 ？"),
+            (
+                3,
+                "var x = {a: 1}.\nuses javascript here.\n"
+                "Lorem Ipsum dolor sit amet.\nGood line one here.\n"
+                "Good line two here.\nGood line three here.",
+            ),
+            (4, None),
+            (5, "Only two good lines here.\nAnd the second one here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(d).collect()}
+    assert len(out) == 5
+    # doc 1: 'short.' fails min_words, the punct-less line fails terminal
+    assert out[1]["n_lines_kept"] == 3 and out[1]["page_keep"]
+    assert "no terminal punct" not in out[1]["clean_text"]
+    # doc 2: CJK terminal marks count; '短 。' fails min_words
+    assert out[2]["n_lines_kept"] == 3 and out[2]["page_keep"]
+    # doc 3: javascript line dropped; page poisoned by brace + lorem ipsum
+    assert "javascript" not in out[3]["clean_text"]
+    assert not out[3]["page_keep"]
+    # doc 4: NULL text behaves as '' (no crash, nothing kept)
+    assert out[4]["n_lines_kept"] == 0 and not out[4]["page_keep"]
+    assert out[4]["clean_text"] == ""
+    # doc 5: both lines keep, but < min_lines_kept -> page dropped
+    assert out[5]["n_lines_kept"] == 2 and not out[5]["page_keep"]
