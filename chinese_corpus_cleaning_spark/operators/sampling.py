@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _h60_sql
 
-__all__ = ["stratified_sample"]
+__all__ = ["stratified_sample", "pack_sequences"]
 
 
 def stratified_sample(
@@ -84,4 +84,79 @@ def stratified_sample(
         survivors.withColumn("sample_rank", F.row_number().over(w_global))
         .where(F.col("sample_rank") <= k)
         .drop("__h")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing / token-budget sharding — the export-stage operator
+    of an LLM training pipeline (GPT/Megatron-style packing: concatenate
+    documents in a deterministic pseudo-random order and split the token
+    stream into fixed-``budget`` training shards). Every doc gets its shard
+    span and start offset from the GLOBAL cumulative token count over the
+    (h60(id), id) order.
+
+    Deterministic and partitioning/retry-independent: the order key is a
+    content hash, never an RNG or zipWithIndex (whose assignment depends on
+    physical partitioning); all arithmetic is bigint — no float anywhere.
+
+    Scale shape (same design language as stratified_sample): a naive global
+    window would range-partition and fully sort the corpus. Instead the h60
+    key is pre-bucketed by its TOP bits (``b = h >> (60 - log2 n_buckets)``
+    — bucket boundaries are compile-time constants, and bucket order equals
+    h order, so concatenating buckets reproduces the global order), the
+    within-bucket cumulative sum windows over (b)-partitions of slim
+    (id, h, n_tokens) rows, and the per-bucket totals (``n_buckets`` rows)
+    prefix-cumulate in one tiny window and broadcast back as offsets. One
+    bounded hash exchange on b — no rangepartitioning, no global sort, and
+    the text column never leaves the map side.
+
+    Returns (id, n_tokens, cum_tokens, shard_first, shard_last,
+    offset_in_shard): the doc's tokens occupy shards
+    [shard_first, shard_last] of width ``budget`` (a doc MAY straddle
+    shards — standard packing splits at sequence boundaries), starting at
+    ``offset_in_shard`` inside shard_first. n_tokens is the whitespace
+    token count with NULL text as '' (one empty token — token_stats'
+    split semantics).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of 2")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    slim = docs.select(
+        F.col(id_col),
+        F.expr(f"size(split(coalesce({text_col}, ''), ' '))")
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(_h60_sql(f"cast({id_col} as string)")).alias("__h"),
+    ).withColumn("__b", F.shiftright(F.col("__h"), shift))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = slim.withColumn("__wcum", F.sum("n_tokens").over(w_in))
+    # n_buckets rows total: the single-partition window is deliberate
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        slim.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .withColumn("__off", F.coalesce(F.sum("__bt").over(w_off), F.lit(0)))
+        .select("__b", "__off")
+    )
+    cum = F.col("__off") + F.col("__wcum")
+    # div = bigint floor division (operands are non-negative by construction)
+    return within.join(F.broadcast(offsets), "__b").select(
+        id_col,
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.expr(f"(__off + __wcum - n_tokens) div {budget}").alias("shard_first"),
+        F.expr(f"(__off + __wcum - 1) div {budget}").alias("shard_last"),
+        ((cum - F.col("n_tokens")) % F.lit(budget)).alias("offset_in_shard"),
     )

@@ -1634,6 +1634,30 @@ def q_c4_line_filter(spark, sf_dir):
 QUERIES["c4_line_filter"] = q_c4_line_filter
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing / token-budget sharding (operators/sampling.
+    pack_sequences): global cumulative token counts over the (h60(id), id)
+    order via the two-phase bucket-prefix form (no global sort); shard
+    span + offset per doc in pure bigint arithmetic. The oracle is the
+    naive single-window spec the two-phase form provably equals."""
+    from ..operators.sampling import pack_sequences
+
+    out = pack_sequences(
+        load(spark, sf_dir, "documents"), budget=512, n_buckets=16
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "n_tokens",
+        "cum_tokens",
+        "shard_first",
+        "shard_last",
+        "offset_in_shard",
+    )
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1736,10 +1760,19 @@ QUERIES["c4_line_filter"] = q_c4_line_filter
 #                             and the aggregate-lambda length arithmetic
 #                             is rule_avg_line_length's kernel; per-row
 #                             values stay verified in the local replica
+# round-6 late demotion (admitting pack_sequences into the window):
+#   fingerprint_winnow     -> cross_doc_span_dup (the same char-n-gram
+#                             md5-h60 fingerprint kernel with a selection
+#                             rule — winnow keeps bottom-1, Manber keeps
+#                             mod-p == 0; span_dup is the strictly richer
+#                             exercise: multi-fingerprint per doc plus the
+#                             cross-doc df>=2 join; per-row bottom-1
+#                             values stay verified in the local replica)
 _GATE_TAIL = [
     "ngram_perplexity",
     "cosine_topk",
     "token_stats",
+    "fingerprint_winnow",
     "url_dedup",
     "stratified_sample",
     "binary_meta",

@@ -1697,6 +1697,26 @@ select doc_id::bigint as doc_id,
   (len(kept) >= 3 and not regexp_matches(lower(t), 'lorem ipsum')
    and not regexp_matches(t, '[{{]')) as page_keep
 from k"""
+
+    # sequence packing: the NAIVE single-window spec over (h60(id), id)
+    # order — the Spark side's two-phase bucket-prefix form provably equals
+    # it (also test-asserted); // and div both floor non-negative bigints
+    o["pack_sequences"] = """
+with t as (
+  select doc_id,
+    len(string_split(coalesce(text, ''), ' '))::bigint as n,
+    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint as h
+  from documents),
+c as (
+  select doc_id, n, h,
+    sum(n) over (order by h, doc_id
+                 rows between unbounded preceding and current row) as cum
+  from t)
+select doc_id::bigint as doc_id, n as n_tokens, cum::bigint as cum_tokens,
+  ((cum - n) // 512)::bigint as shard_first,
+  ((cum - 1) // 512)::bigint as shard_last,
+  ((cum - n) % 512)::bigint as offset_in_shard
+from c"""
     return {k: v.strip() for k, v in o.items()}
 
 

@@ -218,3 +218,20 @@ def test_ppl_buckets_no_global_sort_or_cartesian(spark):
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """pack_sequences' scale claim: NO rangepartitioning anywhere (the
+    naive global-window form would move the corpus to one sorted range),
+    and the per-bucket offsets come back as a broadcast."""
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from chinese_corpus_cleaning_spark.sources import gen
+
+    d = gen.docs_df(spark, 150, partitions=4).select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"), "text"
+    )
+    plan = _explained(pack_sequences(d, budget=128, n_buckets=16))
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
