@@ -234,7 +234,9 @@ def ppl_buckets(
 
     Returns (id, group, ppl [2 dp], neg_avg_log2p, ppl_bucket, t_head,
     t_middle); docs whose text yields no n-grams (NULL text) are absent,
-    matching perplexity_relational.
+    matching perplexity_relational. A NULL group is a group of its own
+    (groupBy keeps NULL keys and the cutoff join is null-safe), so docs
+    with a failed language ID still get buckets instead of vanishing.
     """
     from pyspark.sql import Window
 
@@ -263,8 +265,10 @@ def ppl_buckets(
         F.min(
             F.when(F.col("cum") * 3 >= F.col("ntot") * 2, F.col("ppl"))
         ).alias("t_middle"),
-    )
-    return scored.join(F.broadcast(cutoffs), group_col).withColumn(
+    ).withColumnRenamed(group_col, "__g")
+    return scored.join(
+        F.broadcast(cutoffs), F.col(group_col).eqNullSafe(F.col("__g"))
+    ).withColumn(
         "ppl_bucket",
         F.when(F.col("ppl") <= F.col("t_head"), F.lit("head"))
         .when(F.col("ppl") <= F.col("t_middle"), F.lit("middle"))

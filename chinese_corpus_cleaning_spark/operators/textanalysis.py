@@ -732,20 +732,31 @@ def url_blocklist_filter(
     domain key, still without any text column.
 
     ``blocklist``: a one-column DataFrame (``domain``) or a Python
-    iterable of domain strings. NULL / malformed URLs yield a NULL host
-    (``try_parse_url`` — a real crawl always contains broken URLs; the
-    strict form would fail the job) and are never blocked: the suffix
-    array of a NULL host is NULL, so the explode drops them from the
-    probe, not the output.
+    iterable of domain strings. Entries are normalized to match the host
+    side — lowercased, whitespace-trimmed, trailing dots dropped (real
+    UT1/hand-maintained lists carry mixed case and FQDN dots; an
+    unnormalized entry would silently never block). The iterable path
+    ships through pandas (Arrow) — a plain-tuple createDataFrame of a
+    multi-million-domain list is the CLAUDE.md driver-serialization cap.
+    NULL / malformed URLs yield a NULL host (``try_parse_url`` — a real
+    crawl always contains broken URLs; the strict form would fail the
+    job) and are never blocked: the suffix array of a NULL host is NULL,
+    so the explode drops them from the probe, not the output.
 
     Returns docs + (host, blocked_domain, is_blocked).
     """
     if not isinstance(blocklist, DataFrame):
+        norm = list({d.strip().rstrip(".").lower() for d in blocklist})
         bl = docs.sparkSession.createDataFrame(
-            [(d,) for d in sorted(set(blocklist))], "domain string"
+            pd.DataFrame({"domain": pd.Series(norm, dtype="object")}),
+            schema="domain string",
         )
     else:
-        bl = blocklist.select(F.col("domain"))
+        bl = blocklist.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("domain"))), r"\.+$", ""
+            ).alias("domain")
+        ).distinct()
     if broadcast_list:
         bl = F.broadcast(bl)
     hosted = docs.withColumn(
@@ -768,9 +779,13 @@ def url_blocklist_filter(
 
 
 # C4's terminal-punctuation set, extended with the CJK full-width marks a
-# Chinese corpus needs (。！？ and closing quotes); class syntax valid in
-# Java regex and RE2 alike.
-C4_TERMINAL_RE = '[.!?"\\u3002\\uFF01\\uFF1F\\u201D\\u300D]$'
+# Chinese corpus needs (。！？ and closing quotes). The class spells the
+# CJK marks as LITERAL UTF-8 characters — valid in Java regex and RE2
+# alike, with no backslash to be eaten by a SQL string literal (\uXXXX is
+# Java-only; RE2 would need \x{...}). The $ anchor is safe cross-engine
+# ONLY because \r is stripped before splitting (Java $ matches before a
+# trailing line terminator, RE2 $ is end-of-text — a measured split).
+C4_TERMINAL_RE = '[.!?"。！？”」]$'
 
 
 def c4_line_filter(
@@ -794,9 +809,11 @@ def c4_line_filter(
 
     Returns (id, clean_text, n_lines, n_lines_kept, page_keep).
     NULL text behaves as '' (0 lines kept, page_keep false), matching the
-    repo's other line operators.
+    repo's other line operators. CRLF input is normalized (\\r stripped
+    before the split) so the $ terminal anchor sees the same line bytes on
+    Spark and the RE2 oracle — see C4_TERMINAL_RE's comment.
     """
-    t = f"coalesce({text_col}, '')"
+    t = f"replace(coalesce({text_col}, ''), chr(13), '')"
     lines = f"split({t}, '\\n')"
     kept = (
         f"filter({lines}, l -> size(split(trim(l), ' ')) >= {min_words} "

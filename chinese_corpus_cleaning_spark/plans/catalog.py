@@ -1564,7 +1564,7 @@ _BL_DECOR = (
     "when doc_id % 6 = 2 then 'https://host' || cast(doc_id % 7 as string)"
     " || '.example.com/p/' || cast(doc_id as string) "
     "when doc_id % 6 = 3 then 'HTTPS://ADS.EXAMPLE.COM:443/u/' || cast(doc_id as string) "
-    "when doc_id % 6 = 4 then 'https://badsite' || cast(doc_id % 3 as string)"
+    "when doc_id % 6 = 4 then 'https://badsite' || cast(doc_id % 5 as string)"
     " || '.org/z/' || cast(doc_id as string) "
     "else 'not a url ' || cast(doc_id as string) end"
 )
@@ -1577,8 +1577,10 @@ def q_url_blocklist(spark, sf_dir):
     url_blocklist_filter). Decoration: %6==0 exact blocklist host; %6==1
     blocked only via PARENT-suffix when doc_id%7==3 (tracker.host3...);
     %6==2 exact host3 when doc_id%7==3, clean otherwise; %6==3 upper-case
-    scheme/host + :443 port must still block; %6==4 blocked when
-    doc_id%3==1 (badsite1.org); %6==5 malformed URL -> NULL host, never
+    scheme/host + :443 port must still block; %6==4 blocked only when
+    doc_id%5==1 (badsite1.org; %5 is coprime to 6 so the branch exercises
+    BOTH outcomes — clean badsite{0,2,3,4}.org rows pin that a bare .org
+    TLD suffix matches nothing); %6==5 malformed URL -> NULL host, never
     blocked (try_parse_url tolerance)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_BL_DECOR).alias("url")

@@ -506,7 +506,7 @@ select pl.doc_id::bigint as doc_id, pl.lang, pl.ppl, pl.neg_avg_log2p,
        when pl.ppl <= cut.t_middle then 'middle'
        else 'tail' end as ppl_bucket,
   cut.t_head, cut.t_middle
-from pl join cut using (lang)"""
+from pl join cut on pl.lang is not distinct from cut.lang"""
 
     o["cosine_topk"] = """
 with v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
@@ -1681,8 +1681,10 @@ from u left join m using (doc_id)"""
         "when 2 then 'enable javascript now please.' "
         "else 'extra fine sentence here.' end)"
     )
+    # \r stripped before the split exactly like the operator (Java vs RE2
+    # disagree on $ before a trailing \r — textanalysis.C4_TERMINAL_RE)
     c4_kept = (
-        "list_filter(string_split(t, chr(10)), l -> "
+        "list_filter(string_split(replace(t, chr(13), ''), chr(10)), l -> "
         "len(string_split(trim(l), ' ')) >= 3 "
         "and regexp_matches(trim(l), '[.!?\"。！？”」]$') "
         "and not regexp_matches(lower(l), 'javascript'))"

@@ -43,3 +43,15 @@ def test_c4_line_and_page_semantics(spark):
     assert out[4]["clean_text"] == ""
     # doc 5: both lines keep, but < min_lines_kept -> page dropped
     assert out[5]["n_lines_kept"] == 2 and not out[5]["page_keep"]
+
+
+def test_c4_crlf_normalized(spark):
+    """CRLF pages: trailing \\r must not defeat the terminal-punct anchor
+    (and must not survive into clean_text) — the Java-$ vs RE2-$ split."""
+    d = spark.createDataFrame(
+        [(1, "First good line here.\r\nSecond good line here!\r\nThird good line here?\r\n")],
+        "doc_id long, text string",
+    )
+    r = c4_line_filter(d).first()
+    assert r["n_lines_kept"] == 3 and r["page_keep"]
+    assert "\r" not in r["clean_text"]

@@ -198,3 +198,19 @@ def test_ppl_buckets_survive_nulls(spark):
     # a single-doc group is its own head (cutoff = its own ppl)
     assert out[5]["ppl_bucket"] == "head"
     assert out[5]["t_head"] == out[5]["ppl"]
+
+
+def test_ppl_buckets_null_group_is_its_own_group(spark):
+    """A NULL group (failed language ID) must get buckets, not vanish —
+    the cutoff join is null-safe."""
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", None),
+            (2, "alpha beta gamma", None),
+            (3, "delta epsilon zeta", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in perplexity.ppl_buckets(d, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["lang"] is None and out[1]["ppl_bucket"] in ("head", "middle", "tail")

@@ -45,3 +45,20 @@ def test_blocklist_min_domain_deterministic(spark):
     )
     r = url_blocklist_filter(d, ["example.com", "a.example.com"]).first()
     assert r["blocked_domain"] == "a.example.com"
+
+
+def test_blocklist_entries_normalized(spark):
+    """Mixed-case / FQDN-dotted / padded entries must still block (real
+    UT1-style lists carry all three)."""
+    d = spark.createDataFrame(
+        [(1, "https://ads.example.com/x"), (2, "https://ok.example.net/y")],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in url_blocklist_filter(
+            d, ["Ads.Example.com.", "  BADSITE.ORG  "]
+        ).collect()
+    }
+    assert out[1]["is_blocked"] and out[1]["blocked_domain"] == "ads.example.com"
+    assert not out[2]["is_blocked"]
