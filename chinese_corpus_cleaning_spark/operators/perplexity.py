@@ -231,6 +231,11 @@ def ppl_buckets(
     distinct bins, not docs. The cumulative window runs over the histogram
     only (|groups| x |bins| rows), and the three-row-per-group cutoff table
     broadcasts back. Nothing sorts or windows over per-document data.
+    The scored table feeds BOTH the histogram branch and the labeled
+    output, so it is materialized once (eager localCheckpoint — the same
+    scored-twice doctrine as dedup_incremental's corpus index); without it
+    the LM scoring pass, the most expensive stage, would re-execute per
+    consumer.
 
     Returns (id, group, ppl [2 dp], neg_avg_log2p, ppl_bucket, t_head,
     t_middle); docs whose text yields no n-grams (NULL text) are absent,
@@ -247,6 +252,7 @@ def ppl_buckets(
         broadcast_model=broadcast_model,
     ).withColumn("ppl", F.round("ppl", 2))
     scored = scored.join(docs.select(id_col, group_col), id_col)
+    scored = scored.localCheckpoint(eager=True)
     hist = scored.groupBy(group_col, "ppl").agg(F.count(F.lit(1)).alias("c"))
     # histogram bins are distinct per group, so ROWS == RANGE here; the
     # explicit ROWS frame keeps both engines' default-frame semantics out
