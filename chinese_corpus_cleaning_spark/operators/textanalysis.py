@@ -794,6 +794,7 @@ def c4_line_filter(
     text_col: str = "text",
     min_words: int = 3,
     min_lines_kept: int = 3,
+    min_chars: int | None = None,
 ) -> DataFrame:
     """C4-style line-level cleanup (Raffel et al. 2020, the C4 pipeline):
     keep only lines that END in a terminal punctuation mark (extended with
@@ -807,6 +808,13 @@ def c4_line_filter(
     whole filter rides whole-stage codegen and composes map-side with the
     rest of the cleaning chain at any scale.
 
+    C4's word rule is English-centric: unsegmented Chinese is ONE
+    whitespace token per line, so ``min_words`` alone rejects every
+    Chinese line. ``min_chars`` (opt-in) admits a line that carries at
+    least that many characters even when it fails the word count — the
+    standard CJK adaptation of the C4 length rule. Default None keeps the
+    published C4 behavior (and the gate oracle's).
+
     Returns (id, clean_text, n_lines, n_lines_kept, page_keep).
     NULL text behaves as '' (0 lines kept, page_keep false), matching the
     repo's other line operators. CRLF input is normalized (\\r stripped
@@ -815,8 +823,11 @@ def c4_line_filter(
     """
     t = f"replace(coalesce({text_col}, ''), chr(13), '')"
     lines = f"split({t}, '\\n')"
+    length_rule = f"size(split(trim(l), ' ')) >= {min_words}"
+    if min_chars is not None:
+        length_rule = f"({length_rule} or length(trim(l)) >= {min_chars})"
     kept = (
-        f"filter({lines}, l -> size(split(trim(l), ' ')) >= {min_words} "
+        f"filter({lines}, l -> {length_rule} "
         f"and trim(l) rlike '{C4_TERMINAL_RE}' "
         f"and not lower(l) rlike 'javascript')"
     )

@@ -55,3 +55,20 @@ def test_c4_crlf_normalized(spark):
     r = c4_line_filter(d).first()
     assert r["n_lines_kept"] == 3 and r["page_keep"]
     assert "\r" not in r["clean_text"]
+
+
+def test_c4_min_chars_cjk_adaptation(spark):
+    """Unsegmented Chinese (one whitespace token per line) fails the
+    English-centric word rule; min_chars admits it without loosening the
+    terminal-punctuation requirement."""
+    d = spark.createDataFrame(
+        [(1, "这是一个完整的中文句子没有空格。\n第二个完整句子也没有空格！\n第三个句子在这里吗？\n短。\n没有标点的行")],
+        "doc_id long, text string",
+    )
+    strict = c4_line_filter(d).first()
+    assert strict["n_lines_kept"] == 0  # word rule rejects everything
+    cjk = c4_line_filter(d, min_chars=8).first()
+    # three long terminal-punct lines keep; '短。' (2 chars) and the
+    # punct-less line still drop
+    assert cjk["n_lines_kept"] == 3 and cjk["page_keep"]
+    assert "短" not in cjk["clean_text"] and "没有标点" not in cjk["clean_text"]
