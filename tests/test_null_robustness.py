@@ -214,3 +214,24 @@ def test_ppl_buckets_null_group_is_its_own_group(spark):
     out = {r["doc_id"]: r for r in perplexity.ppl_buckets(d, n=3).collect()}
     assert set(out) == {1, 2, 3}
     assert out[1]["lang"] is None and out[1]["ppl_bucket"] in ("head", "middle", "tail")
+
+
+def test_empty_table_through_round6_ops(spark):
+    """Empty input tables flow through every round-6 operator."""
+    from chinese_corpus_cleaning_spark.operators.sampling import pack_sequences
+    from chinese_corpus_cleaning_spark.operators.textanalysis import (
+        c4_line_filter,
+        url_blocklist_filter,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, url string"
+    )
+    assert pack_sequences(empty.select("doc_id", "text"), budget=64).count() == 0
+    assert perplexity.ppl_buckets(
+        empty.select("doc_id", "text", "lang"), n=3
+    ).count() == 0
+    assert url_blocklist_filter(
+        empty.select("doc_id", "url"), ["x.example.com"]
+    ).count() == 0
+    assert c4_line_filter(empty.select("doc_id", "text")).count() == 0
