@@ -206,14 +206,15 @@ class TextQualityFilter:
         # Native-expr equivalent of urllib's unquote(urlparse(p).path):
         # strip scheme+authority, protect literal '+' (url_decode is
         # form-decoding and would turn it into a space), then url_decode.
-        decoded_path = F.url_decode(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.input_file_name(), "^[a-z][a-z0-9+.-]*:(//[^/]*)?", ""
-                ),
-                r"\+",
-                "%2B",
-            )
+        # try_url_decode + coalesce keeps urllib's LENIENCY: a stray '%'
+        # not followed by two hex digits passes through as the raw path
+        # instead of failing the whole read job (strict url_decode raises).
+        stripped_path = F.regexp_replace(
+            F.input_file_name(), "^[a-z][a-z0-9+.-]*:(//[^/]*)?", ""
+        )
+        decoded_path = F.coalesce(
+            F.try_url_decode(F.regexp_replace(stripped_path, r"\+", "%2B")),
+            stripped_path,
         )
         df = (
             spark.read.format("text")

@@ -132,9 +132,14 @@ def parse_image_dims(blob: bytes | None) -> tuple[str, int, int] | None:
             if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
                 i += 2
                 continue
-            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no dims found
+            if marker in (0xD8, 0xD9, 0xDA):
+                # SOS / EOI: dims always precede them; a stray SOI
+                # mid-stream is corruption — fail closed (None), never
+                # reinterpret payload bytes as a length-bearing segment
                 return None
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if seg_len < 2:  # length includes itself; < 2 is corrupt
+                return None
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 > n:
                     return None

@@ -741,7 +741,10 @@ def url_blocklist_filter(
     NULL / malformed URLs yield a NULL host (``try_parse_url`` — a real
     crawl always contains broken URLs; the strict form would fail the
     job) and are never blocked: the suffix array of a NULL host is NULL,
-    so the explode drops them from the probe, not the output.
+    so the explode drops them from the probe, not the output. The host
+    side is normalized like the entries: a valid trailing-dot FQDN URL
+    (``https://ads.example.com./x``) must not evade the list, so trailing
+    dots are stripped from the extracted host before the suffix chain.
 
     Returns docs + (host, blocked_domain, is_blocked).
     """
@@ -760,7 +763,12 @@ def url_blocklist_filter(
     if broadcast_list:
         bl = F.broadcast(bl)
     hosted = docs.withColumn(
-        "host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+        "host",
+        F.regexp_replace(
+            F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))),
+            r"\.+$",
+            "",
+        ),
     )
     suffixes = (
         "transform(sequence(1, size(split(host, '[.]'))), "

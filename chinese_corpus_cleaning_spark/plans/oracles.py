@@ -1638,15 +1638,17 @@ where d.doc_id % 2 = 1"""
 
     # UT1-style domain blocklist: host via regex (nullif '' mirrors Spark's
     # try_parse_url NULL on malformed URLs; class stops at ':' to drop the
-    # port), dot-suffix unnest, min matched domain per doc
+    # port), trailing FQDN dots stripped like the Spark side (a trailing-
+    # dot host must not evade the normalized entries), dot-suffix unnest,
+    # min matched domain per doc
     from .catalog import _BL_DECOR, _BLOCKLIST
 
     bl_list = ", ".join(f"'{d}'" for d in sorted(set(_BLOCKLIST)))
     o["url_blocklist"] = f"""
 with d as (select doc_id, {_BL_DECOR} as url from documents),
 u as (
-  select doc_id, nullif(lower(regexp_extract(url,
-    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '') as host
+  select doc_id, regexp_replace(nullif(lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), ''), '\\.+$', '') as host
   from d),
 bl as (select unnest([{bl_list}]) as domain),
 sfx as (
@@ -1702,13 +1704,26 @@ from k"""
 
     # sequence packing: the NAIVE single-window spec over (h60(id), id)
     # order — the Spark side's two-phase bucket-prefix form provably equals
-    # it (also test-asserted); // and div both floor non-negative bigints
+    # it (also test-asserted); // and div both floor non-negative bigints.
+    # Token count is the CJK-aware twin of sampling.token_count_sql: match
+    # counting (regexp_extract_all ~ Spark regexp_count) sidesteps the
+    # engines' grapheme-vs-codepoint length() split; DuckDB regexp_replace
+    # needs the explicit 'g' flag (Spark's is global by default); the CJK
+    # class uses literal endpoint chars (portable across RE2/Java).
     o["pack_sequences"] = """
-with t as (
+with t0 as (
+  select doc_id, coalesce(text, '') as t from documents),
+t1 as (
+  select doc_id, t,
+    trim(regexp_replace(t, '[一-鿿]', ' ', 'g')) as resid
+  from t0),
+t as (
   select doc_id,
-    len(string_split(coalesce(text, ''), ' '))::bigint as n,
+    (len(regexp_extract_all(t, '[一-鿿]'))
+     + case when resid = '' then 0
+       else len(string_split_regex(resid, ' +')) end)::bigint as n,
     ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint as h
-  from documents),
+  from t1),
 c as (
   select doc_id, n, h,
     sum(n) over (order by h, doc_id

@@ -222,13 +222,13 @@ def test_batch_outputs_use_decoded_filenames(spark, tmp_path):
     intact."""
     in_dir = tmp_path / "zhin"
     in_dir.mkdir()
-    names = ["中文文档.txt", "has space.txt"]
+    names = ["中文文档.txt", "has space.txt", "100% done+x.txt"]
     for n in names:
         (in_dir / n).write_text(CASES[0], encoding="utf-8")
     ours = TextQualityFilter(spark=spark)
     out = tmp_path / "zhout"
     stats = ours.batch_process(str(in_dir), str(out))
-    assert stats["total"] == 2
+    assert stats["total"] == 3
     got = set(os.listdir(out / "results"))
     assert got == {f"{n}.json" for n in names}, got
     sout = tmp_path / "zhsout"

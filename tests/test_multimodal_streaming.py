@@ -219,6 +219,22 @@ def test_parse_image_dims_pure():
         + b"\x03" * 10
     )
     assert multimodal.parse_image_dims(j) == ("jpeg", 44, 33)
+    # corrupt streams must FAIL CLOSED (None), never yield plausible dims:
+    # zero/one segment length would otherwise advance into the payload and
+    # reinterpret payload bytes as markers
+    assert (
+        multimodal.parse_image_dims(b"\xff\xd8\xff\xdb\x00\x00ab\xff\xda")
+        is None
+    )
+    assert (
+        multimodal.parse_image_dims(b"\xff\xd8\xff\xdb\x00\x01ab\xff\xda")
+        is None
+    )
+    # stray SOI mid-stream is corruption, not a length-bearing segment
+    assert (
+        multimodal.parse_image_dims(b"\xff\xd8\xff\xd8\x00\x04ab\xff\xda")
+        is None
+    )
 
 
 def test_media_dims_spark(spark, media_df):

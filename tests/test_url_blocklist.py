@@ -19,6 +19,7 @@ def test_blocklist_suffix_and_tolerance(spark):
             (6, None),
             (7, "not a url"),  # try_parse_url -> NULL host
             (8, "https://example.com.evil.net/q"),  # suffix is evil.net side
+            (9, "https://ads.example.com./x"),  # trailing-dot FQDN host
         ],
         "doc_id long, url string",
     )
@@ -28,9 +29,12 @@ def test_blocklist_suffix_and_tolerance(spark):
             d, ["ads.example.com", "badsite.org"]
         ).collect()
     }
-    assert len(out) == 8  # nothing dropped, flags attached
+    assert len(out) == 9  # nothing dropped, flags attached
     blocked = {k for k, r in out.items() if r["is_blocked"]}
-    assert blocked == {1, 2, 4, 5}
+    assert blocked == {1, 2, 4, 5, 9}
+    # the host side is normalized like the entries: the valid trailing-dot
+    # form must not evade the list (ADVICE r6)
+    assert out[9]["host"] == "ads.example.com"
     assert out[2]["blocked_domain"] == "ads.example.com"
     assert out[4]["host"] == "ads.example.com"  # lowered, port stripped
     assert out[7]["host"] is None and not out[7]["is_blocked"]
