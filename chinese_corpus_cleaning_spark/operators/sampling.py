@@ -41,7 +41,48 @@ from pyspark.sql import functions as F
 
 from .dedup import _h60_sql
 
-__all__ = ["stratified_sample", "pack_sequences"]
+__all__ = ["stratified_sample", "pack_sequences", "token_count_sql"]
+
+
+# U+4E00..U+9FFF (CJK Unified Ideographs) with LITERAL endpoint characters:
+# Java regex and RE2 agree on literal codepoint ranges in classes, while the
+# \uXXXX / \x{...} spellings are dialect-split (CLAUDE.md portable-regex
+# rule; same device as textanalysis.C4_TERMINAL_RE).
+_CJK_CLASS = "[一-鿿]"
+
+
+def token_count_sql(text_col: str, mode: str = "cjk") -> str:
+    """Portable (Spark SQL) token-count expression over ``text_col``.
+
+    ``mode='cjk'`` (the default the packing/export path needs): each CJK
+    Unified Ideograph counts as one token, and the non-CJK residue is
+    counted in whitespace words (CJK chars are replaced by a space first,
+    so ``abc中def`` is 1 + 2, not 1 + 1). Unsegmented Chinese text is ~1
+    whitespace token per LINE — a "2048-token" shard packed by whitespace
+    count would carry hundreds of thousands of Chinese characters; the
+    reference itself tokenizes Chinese (jieba) for its LM (SURVEY §2.9), so
+    chars-for-CJK + words-elsewhere is the reference-consistent budget unit
+    (≈ jieba token count within a small constant factor, with zero
+    segmenter dependency). Match counting (``regexp_count``) is used
+    instead of length arithmetic so the DuckDB oracle twin
+    (len(regexp_extract_all(...))) agrees per-codepoint regardless of the
+    engines' grapheme-vs-codepoint length() semantics.
+
+    ``mode='whitespace'``: the original ``size(split(text, ' '))`` count
+    (token_stats semantics — NULL behaves as '', which is ONE empty
+    token). Kept for parity with pre-round-7 shard layouts.
+    """
+    t = f"coalesce({text_col}, '')"
+    if mode == "whitespace":
+        return f"size(split({t}, ' '))"
+    if mode != "cjk":
+        raise ValueError(f"unknown token count mode: {mode!r}")
+    resid = f"trim(regexp_replace({t}, '{_CJK_CLASS}', ' '))"
+    return (
+        f"regexp_count({t}, '{_CJK_CLASS}') + "
+        f"(case when {resid} = '' then 0 "
+        f"else size(split({resid}, ' +')) end)"
+    )
 
 
 def stratified_sample(
@@ -92,7 +133,9 @@ def pack_sequences(
     budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    token_count: str = "cjk",
+    token_count_expr: str | None = None,
 ) -> DataFrame:
     """Sequence packing / token-budget sharding — the export-stage operator
     of an LLM training pipeline (GPT/Megatron-style packing: concatenate
@@ -120,20 +163,36 @@ def pack_sequences(
     offset_in_shard): the doc's tokens occupy shards
     [shard_first, shard_last] of width ``budget`` (a doc MAY straddle
     shards — standard packing splits at sequence boundaries), starting at
-    ``offset_in_shard`` inside shard_first. n_tokens is the whitespace
-    token count with NULL text as '' (one empty token — token_stats'
-    split semantics).
+    ``offset_in_shard`` inside shard_first.
+
+    n_tokens defaults to the CJK-aware count (``token_count_sql('cjk')``:
+    one token per CJK ideograph + whitespace words over the residue) —
+    the budget unit that is actually meaningful for the Chinese corpus
+    this engine targets. ``token_count='whitespace'`` restores the pre-
+    round-7 whitespace split; ``token_count_expr`` accepts any bigint-
+    valued SQL expression over the input columns (e.g. a precomputed
+    tokenizer count column) and overrides ``token_count``.
+
+    ``n_buckets`` (power of 2) caps the within-bucket window parallelism
+    and sets corpus/n_buckets rows per cumsum task. Default None derives
+    it from the input: the next power of two >= max(64, input partition
+    count) — at 100 TB the scan parallelism (tens of thousands of file
+    splits) carries through, while small inputs keep the 64-way floor.
+    The value is a PHYSICAL knob only: any n_buckets yields identical
+    output (test-asserted), so an explicit setting is always safe.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if n_buckets is None:
+        target = max(64, docs.rdd.getNumPartitions())
+        n_buckets = 1 << (target - 1).bit_length()
     if n_buckets < 1 or n_buckets & (n_buckets - 1):
         raise ValueError("n_buckets must be a power of 2")
     shift = 60 - (n_buckets.bit_length() - 1)
+    n_expr = token_count_expr or token_count_sql(text_col, token_count)
     slim = docs.select(
         F.col(id_col),
-        F.expr(f"size(split(coalesce({text_col}, ''), ' '))")
-        .cast("long")
-        .alias("n_tokens"),
+        F.expr(n_expr).cast("long").alias("n_tokens"),
         F.expr(_h60_sql(f"cast({id_col} as string)")).alias("__h"),
     ).withColumn("__b", F.shiftright(F.col("__h"), shift))
     w_in = (

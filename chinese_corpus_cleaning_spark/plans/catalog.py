@@ -1640,8 +1640,11 @@ def q_pack_sequences(spark, sf_dir):
     """Sequence packing / token-budget sharding (operators/sampling.
     pack_sequences): global cumulative token counts over the (h60(id), id)
     order via the two-phase bucket-prefix form (no global sort); shard
-    span + offset per doc in pure bigint arithmetic. The oracle is the
-    naive single-window spec the two-phase form provably equals."""
+    span + offset per doc in pure bigint arithmetic. Token counts are the
+    CJK-aware default (one token per CJK ideograph + whitespace words over
+    the residue — sampling.token_count_sql); the oracle recomputes the
+    same count per-codepoint and applies the naive single-window spec the
+    two-phase form provably equals."""
     from ..operators.sampling import pack_sequences
 
     out = pack_sequences(

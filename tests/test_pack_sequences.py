@@ -1,13 +1,18 @@
 """pack_sequences: two-phase bucket-prefix packing must equal the naive
-global-window spec; shard arithmetic invariants; bucket-count invariance."""
+global-window spec; shard arithmetic invariants; bucket-count invariance;
+CJK-aware token semantics (round-7 default)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from chinese_corpus_cleaning_spark.operators.dedup import _h60_sql
-from chinese_corpus_cleaning_spark.operators.sampling import pack_sequences
+from chinese_corpus_cleaning_spark.operators.sampling import (
+    pack_sequences,
+    token_count_sql,
+)
 from chinese_corpus_cleaning_spark.sources import gen
 
 
@@ -25,7 +30,7 @@ def test_pack_matches_naive_window_and_invariants(spark):
     }
     slim = d.select(
         "doc_id",
-        F.expr("size(split(coalesce(text, ''), ' '))").cast("long").alias("n"),
+        F.expr(token_count_sql("text")).cast("long").alias("n"),
         F.expr(_h60_sql("cast(doc_id as string)")).alias("h"),
     )
     w = Window.orderBy("h", "doc_id").rowsBetween(
@@ -51,8 +56,56 @@ def test_pack_matches_naive_window_and_invariants(spark):
 
 
 def test_pack_bucket_count_invariance(spark):
-    """n_buckets is a physical knob only — results must be identical."""
+    """n_buckets is a physical knob only — results must be identical,
+    including the derived default (n_buckets=None)."""
     d = _docs(spark, 200)
     a = sorted(map(tuple, pack_sequences(d, budget=64, n_buckets=4).collect()))
     b = sorted(map(tuple, pack_sequences(d, budget=64, n_buckets=64).collect()))
-    assert a == b
+    c = sorted(map(tuple, pack_sequences(d, budget=64).collect()))
+    assert a == b == c
+
+
+def test_cjk_token_semantics(spark):
+    """The round-7 default budget unit: a pure-Chinese doc's n_tokens is
+    its CHARACTER count (whitespace split would call it 1 token — the
+    verdict-named wrong-in-practice case); mixed text counts CJK chars +
+    whitespace words over the residue; adjacency around CJK runs splits."""
+    zh = "训练数据管线需要正确的序列打包预算单位"  # 19 chars, no spaces
+    rows = spark.createDataFrame(
+        [
+            (1, zh),
+            (2, "hello world"),  # pure ASCII: 2 words
+            (3, "abc中def"),  # 1 CJK + 2 residue words (adjacency splits)
+            (4, "中文 字符"),  # 4 CJK, residue is only whitespace -> 0
+            (5, None),  # NULL text -> 0 tokens in cjk mode
+            (6, ""),  # empty -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_sequences(rows, budget=8, n_buckets=4).collect()
+    }
+    assert out[1] == len(zh) == 19
+    assert out[2] == 2
+    assert out[3] == 3
+    assert out[4] == 4
+    assert out[5] == 0 and out[6] == 0
+    # whitespace mode keeps the pre-round-7 semantics (NULL -> '' -> 1)
+    ws = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_sequences(
+            rows, budget=8, n_buckets=4, token_count="whitespace"
+        ).collect()
+    }
+    assert ws[1] == 1 and ws[2] == 2 and ws[5] == 1
+    # token_count_expr overrides both modes
+    fixed = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_sequences(
+            rows, budget=8, n_buckets=4, token_count_expr="7"
+        ).collect()
+    }
+    assert set(fixed.values()) == {7}
+    with pytest.raises(ValueError):
+        token_count_sql("text", "bogus")
