@@ -71,11 +71,25 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+
+    # MIN OF N_RUNS PER STAGE (round-7 harness change, extending the
+    # dedup_minhash min-of-3 doctrine to every stage): same-code driver
+    # readings on this shared host swung up to 7x across rounds (evidence
+    # in BENCH/BASELINE.md), and rounds 2-6 each burned verdict space
+    # adjudicating window noise. The min over >=3 runs in ONE JVM is the
+    # noise-robust per-stage number; the full per-run lists are reported
+    # alongside so the distribution stays visible.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        all_runs[name] = runs
 
     trie_bc = broadcast_trie(spark)
 
@@ -117,20 +131,17 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
     # near-dup join on the generated corpus: realistic near-dup families +
     # one hot host (the word-salad documents table is degenerate for LSH —
-    # every doc collides with every other). MIN OF 3 RUNS: this stage's
-    # same-code driver readings swung 10.4 -> 16.1 -> 24.1 s across rounds
-    # 2-4 while interleaved A/Bs showed code parity (BENCH/dedup_ab.py) —
-    # the min removes the host-noise adjudication from the driver number.
-    def _dedup_once():
-        t0 = time.perf_counter()
-        dedup.dedup_representatives(
+    # every doc collides with every other). This stage pioneered the
+    # min-of-3 treatment in round 2 (same-code swings 10.4 -> 24.1 s,
+    # BENCH/dedup_ab.py); `timed` now applies it everywhere.
+    timed(
+        "dedup_minhash",
+        lambda: dedup.dedup_representatives(
             gen_docs.select(F.col("url").alias("doc_id"), "text")
-        ).agg(F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long"))).collect()
-        return round(time.perf_counter() - t0, 3)
-
-    dedup_runs = [_dedup_once() for _ in range(3)]
-    timings["dedup_minhash"] = min(dedup_runs)
-    timings["_dedup_minhash_runs"] = dedup_runs
+        )
+        .agg(F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long")))
+        .collect(),
+    )
 
     def _ppl():
         model = perplexity.ngram_counts(docs, n=3)
@@ -173,6 +184,7 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
     timed("curation_total", _curation)
 
     timings["_n_docs"] = n_docs
+    timings["_runs"] = all_runs
     return timings
 
 
@@ -183,10 +195,15 @@ def main() -> None:
     finally:
         spark.stop()
     n_docs = timings.pop("_n_docs")
-    dedup_runs = timings.pop("_dedup_minhash_runs", None)
+    all_runs = timings.pop("_runs", {})
     # headline total = the six round-1 stages, stable across rounds so
     # BENCH_r{N} values stay comparable; stages added later (composite_ann)
-    # are reported in "queries" but not folded into "value"
+    # are reported in "queries" but not folded into "value".
+    # NOTE (round 7): every per-stage value is now a MIN over >=3 in-JVM
+    # runs ("runs" carries the full lists). Rounds 1-6 were single-shot
+    # except dedup_minhash — cross-round comparisons against r06 and
+    # earlier compare their single-shot values to these minima
+    # (BENCH/BASELINE.md records the boundary).
     headline = (
         "quality_scrub", "extract_langid", "rule_native",
         "dedup_minhash", "ngram_ppl", "cosine_topk",
@@ -201,7 +218,7 @@ def main() -> None:
         "cpus": CPUS,
         "n_docs": n_docs,
         "docs_per_sec_quality_scrub": round(n_docs / timings["quality_scrub"], 1),
-        "dedup_minhash_runs": dedup_runs,
+        "runs": all_runs,
     }
     print(json.dumps(out))
 
