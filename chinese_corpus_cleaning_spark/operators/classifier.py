@@ -1,0 +1,338 @@
+"""Learned quality classifier — the supervised axis of a webtext pipeline.
+
+Rule filters (functions/textstats.py) and the n-gram LM (operators/
+perplexity.py) give the heuristic and language-model quality axes; this
+module adds the standard third: a LINEAR classifier over hashed character
+n-gram bag features, the public fastText recipe (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification") that CCNet (Wenzek et
+al. 2020 §4.3) and RefinedWeb-class pipelines use to keep "looks like a
+curated corpus" pages. Pure numpy/Arrow + native Spark exprs — no model
+library needed, and character n-grams need no segmenter (the right
+feature unit for Chinese).
+
+Three pieces, each independently usable:
+
+* :func:`hash_ngram_features` — (id, bucket, cnt) char-n-gram counts,
+  hashed with the repo's cross-engine md5-h60 primitive (so a DuckDB
+  oracle can recompute every bucket id bit-for-bit).
+* :func:`nb_logodds_weights` — closed-form Naive-Bayes log-odds weights
+  (the NB-SVM / fastText-init feature weighting, Wang & Manning 2012):
+  ONE relational pass, no iteration — fully SQL-expressible, which is
+  what the driver-gate query verifies end-to-end (train AND score).
+* :func:`train_logreg` — logistic regression by batch gradient descent:
+  the feature table is built once (explode -> agg, localCheckpointed),
+  each iteration broadcasts the weight vector, computes margins with one
+  agg, and reduces gradients back to <= n_buckets rows. The LABELED set
+  is the small side by construction (CCNet trains on a Wikipedia-scale
+  sample, ~10^5-10^6 docs); the 100 TB path is :func:`classifier_score`,
+  which is iteration-free.
+* :func:`classifier_score` — margin/probability/keep per document:
+  hashed counts joined against the BROADCAST weight table, one slim
+  groupBy(id); weights are quantized to decimal(18,6) so the margin sum
+  is EXACT decimal arithmetic (the repo's cross-engine determinism
+  doctrine — no float-order sensitivity anywhere in the scoring path).
+
+Scale shape (100 TB): scoring explodes grams map-side, partially
+aggregates (id, bucket) within the scan partition (rows for one doc never
+span partitions before the shuffle, so the map-side combine collapses to
+~distinct-gram counts), broadcasts the <= n_buckets weight rows, and
+ships only (id, partial-margin) into the final slim agg. No text crosses
+a shuffle; no per-row Python; the whole path is native exprs inside
+whole-stage codegen.
+
+The reference has no learned classifier (its quality gate is rules +
+perplexity); this operator is part of the beyond-reference LLM-pipeline
+surface the build brief names. Feature hashing follows the public
+hashing-trick formulation (Weinberger et al. 2009).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _h60_sql
+
+__all__ = [
+    "hash_ngram_features",
+    "nb_logodds_weights",
+    "train_logreg",
+    "classifier_score",
+    "LogRegModel",
+]
+
+
+def _gram_expr(text_col: str, n: int) -> str:
+    """All char n-grams WITH multiplicity (bag, not set — counts carry
+    signal the dedup shingle sets deliberately drop). Texts shorter than n
+    contribute the whole text as one gram (shingle_explode convention);
+    the case arm guards the CLAUDE.md sequence(n, size) descent landmine.
+    """
+    t = f"coalesce({text_col}, '')"
+    return (
+        f"case when length({t}) < {n} then array({t}) "
+        f"else transform(sequence(1, length({t}) - {n} + 1), "
+        f"i -> substring({t}, i, {n})) end"
+    )
+
+
+def hash_ngram_features(
+    docs: DataFrame,
+    n: int = 3,
+    n_buckets: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, cnt): char n-gram occurrence counts hashed into
+    ``n_buckets`` via md5-h60 (cross-engine reproducible; DuckDB twin is
+    ``('0x'||substr(md5(g),1,15))::bigint % n_buckets``). NULL text
+    behaves as '' (one empty gram). The explode and the (id, bucket)
+    partial aggregation both run inside the scan partition — the shuffle
+    carries only the collapsed count rows."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.expr(_gram_expr(text_col, n))).alias("gram"),
+        )
+        .select(
+            "id",
+            F.pmod(F.expr(_h60_sql("gram")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nb_logodds_weights(
+    labeled: DataFrame,
+    n: int = 3,
+    n_buckets: int = 1 << 18,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Closed-form Naive-Bayes log-odds weights over hashed char n-grams:
+
+        w_j = ln((c1_j + a) / (T1 + a*B)) - ln((c0_j + a) / (T0 + a*B))
+
+    with c/T the per-bucket / total gram counts of the positive (label
+    truthy) and negative classes and B = n_buckets (Lidstone smoothing,
+    same family as the n-gram LM's). One explode -> agg pass, no
+    iteration: the multinomial-NB decision rule IS a linear model over
+    counts (Wang & Manning 2012), so these weights plug directly into
+    :func:`classifier_score`. Buckets never seen in training are absent
+    (scored as 0 by the left join). Returns (bucket, w)."""
+    y = F.col(label_col).cast("boolean")
+    feats = hash_ngram_features(labeled, n, n_buckets, id_col, text_col).join(
+        labeled.select(F.col(id_col).alias("id"), y.alias("__y")), "id"
+    )
+    per = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), F.col("cnt")).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("__y"), F.col("cnt")).otherwise(0)).alias("c0"),
+    )
+    tot = per.agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
+    )
+    a, b = float(alpha), float(alpha) * n_buckets
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("c1") + a) / (F.col("t1") + b))
+            - F.log((F.col("c0") + a) / (F.col("t0") + b))
+        ).alias("w"),
+    )
+
+
+@dataclass
+class LogRegModel:
+    """Trained logistic-regression model: dense weight vector + bias.
+    ``to_df(spark)`` yields the (bucket, w) table classifier_score
+    consumes (zero-weight buckets dropped — they score 0 either way)."""
+
+    weights: np.ndarray
+    bias: float
+    n: int
+    n_buckets: int
+    losses: list[float] = field(default_factory=list)
+
+    def to_df(self, spark) -> DataFrame:
+        nz = np.flatnonzero(self.weights)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "bucket": nz.astype("int32"),
+                    "w": self.weights[nz].astype("float64"),
+                }
+            ),
+            schema="bucket int, w double",
+        )
+
+
+def train_logreg(
+    labeled: DataFrame,
+    n: int = 3,
+    n_buckets: int = 1 << 18,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> LogRegModel:
+    """Distributed batch-gradient logistic regression over hashed char
+    n-gram features (the fastText supervised objective for one label,
+    without the embedding layer).
+
+    Shape: the normalized feature table (id, bucket, x = cnt/doc_total —
+    fastText's mean-of-features) is built ONCE and localCheckpointed (the
+    loop-state doctrine: every iteration rescans it). Per iteration the
+    weight vector ships out as a <= n_buckets-row BROADCAST table, margins
+    reduce per doc, per-doc errors come back through Arrow (labeled sets
+    are ~10^5-10^6 docs — the small side by construction), ship back
+    broadcast, and gradients reduce to <= n_buckets rows. Nothing
+    corpus-sized is collected, sorted, or iterated on the driver.
+
+    The driver-side update is AdaGrad (Duchi et al. 2011): feature
+    gradients are O(1/doc_len) while the bias gradient is O(1), so a
+    single global step size either stalls the features or blows up the
+    bias — per-coordinate scaling makes one ``lr`` work for both (the
+    divergence was measured: plain GD at lr=50 pushed loss 0.69 -> 8.6).
+
+    Gradient float sums are shuffle-order dependent, so retraining is
+    deterministic only to ~1 ulp per agg — assert model QUALITY in tests,
+    not bit-identical weights (the repo's determinism doctrine applies to
+    the gated scoring path, which is exact decimal)."""
+    spark = labeled.sparkSession
+    feats = hash_ngram_features(labeled, n, n_buckets, id_col, text_col)
+    tot = feats.groupBy("id").agg(F.sum("cnt").alias("__t"))
+    lab = labeled.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("boolean").cast("double").alias("y"),
+    )
+    xy = (
+        feats.join(tot, "id")
+        .select("id", "bucket", (F.col("cnt") / F.col("__t")).alias("x"))
+        .join(lab, "id")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = lab.count()
+    w = np.zeros(n_buckets, dtype="float64")
+    bias = 0.0
+    gsq_w = np.zeros(n_buckets, dtype="float64")
+    gsq_b = 0.0
+    ada_eps = 1e-8
+    losses: list[float] = []
+    for _ in range(iters):
+        nz = np.flatnonzero(w)
+        wdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"bucket": nz.astype("int32"), "w": w[nz]}
+            ),
+            schema="bucket int, w double",
+        )
+        margins = (
+            xy.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("id", "y")
+            .agg(
+                F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).alias(
+                    "m"
+                )
+            )
+            .toPandas()
+        )
+        m = margins["m"].to_numpy() + bias
+        yv = margins["y"].to_numpy()
+        p = 1.0 / (1.0 + np.exp(-m))
+        eps = 1e-12
+        losses.append(
+            float(
+                -np.mean(
+                    yv * np.log(p + eps) + (1 - yv) * np.log(1 - p + eps)
+                )
+            )
+        )
+        err = p - yv
+        edf = spark.createDataFrame(
+            pd.DataFrame({"id": margins["id"], "e": err}),
+        )
+        grad = (
+            xy.join(F.broadcast(edf), "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("e") * F.col("x")).alias("g"))
+            .toPandas()
+        )
+        g = np.zeros(n_buckets, dtype="float64")
+        g[grad["bucket"].to_numpy()] = grad["g"].to_numpy()
+        g = g / n_docs + l2 * w
+        gsq_w += g * g
+        w -= lr * g / np.sqrt(gsq_w + ada_eps)
+        g_b = float(err.sum()) / n_docs
+        gsq_b += g_b * g_b
+        bias -= lr * g_b / math.sqrt(gsq_b + ada_eps)
+    return LogRegModel(w, bias, n, n_buckets, losses)
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int = 3,
+    n_buckets: int = 1 << 18,
+    bias: float = 0.0,
+    quantize: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with a linear model over hashed char n-grams:
+    margin = sum(cnt_j * w_j) + bias, clf_score = sigmoid(margin),
+    clf_keep = margin > 0.
+
+    ``weights`` is any (bucket, w) table (:func:`nb_logodds_weights`
+    output or ``LogRegModel.to_df``); it is broadcast (<= n_buckets rows
+    by construction). Weights are quantized to decimal(18, ``quantize``)
+    BEFORE the per-doc sum, so the margin is exact decimal arithmetic —
+    bit-identical across engines and partitionings regardless of
+    float-add order (CLAUDE.md decimal-sums doctrine; quantize=None
+    keeps raw double weights when exactness is not needed). Docs whose
+    grams all miss the weight table score margin = 0 (left join +
+    coalesce), and every input row survives.
+
+    Returns docs + (margin decimal(38,q) | double, clf_score, clf_keep).
+    """
+    feats = hash_ngram_features(docs, n, n_buckets, id_col, text_col)
+    if quantize is not None:
+        wcol = F.round(F.col("w"), quantize).cast(f"decimal(18,{quantize})")
+        zero = F.lit(0).cast(f"decimal(18,{quantize})")
+        bias_term = F.lit(
+            str(round(bias, quantize))
+        ).cast(f"decimal(18,{quantize})")
+    else:
+        wcol = F.col("w")
+        zero = F.lit(0.0)
+        bias_term = F.lit(float(bias))
+    wq = weights.select("bucket", wcol.alias("__wq"))
+    margins = (
+        feats.join(F.broadcast(wq), "bucket", "left")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.coalesce(F.col("__wq"), zero)).alias("__m"))
+    )
+    margin = F.coalesce(F.col("__m"), zero) + bias_term
+    out = docs.join(
+        margins, F.col(id_col) == F.col("id"), "left"
+    ).drop("id")
+    return (
+        out.withColumn("margin", margin)
+        .withColumn(
+            "clf_score",
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin").cast("double"))),
+        )
+        .withColumn("clf_keep", F.col("margin") > zero)
+        .drop("__m")
+    )

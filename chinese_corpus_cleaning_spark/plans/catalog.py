@@ -1663,6 +1663,49 @@ def q_pack_sequences(spark, sf_dir):
 QUERIES["pack_sequences"] = q_pack_sequences
 
 
+# Deterministic class markers for the learned-classifier gate query: the
+# documents table is unlabeled word-salad, so labels are synthesized from
+# doc_id parity and each class gets a distinctive appended char pattern the
+# hashed-3-gram model must LEARN to separate (the oracle re-learns the same
+# weights relationally — the whole train+score path is verified, not just
+# a fixed dot product).
+_CLF_GOOD_MARK = "新闻报道内容研究分析结果表明该页面质量良好可供训练使用"
+_CLF_SPAM_MARK = "点击进入赌场发票代开中奖彩票立即下载安装注册领取红包"
+_CLF_DECOR = (
+    f"text || case when doc_id % 2 = 1 then ' {_CLF_GOOD_MARK}' "
+    f"else ' {_CLF_SPAM_MARK}' end"
+)
+_CLF_BUCKETS = 4096
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality classifier (operators/classifier.py): Naive-Bayes
+    log-odds weights over hashed char 3-grams (md5-h60 pmod 4096) trained
+    IN-QUERY on the parity-labeled decoration, then the exact-decimal
+    margin scorer. Verifies the full supervised path end-to-end: feature
+    hashing, closed-form training, broadcast-join scoring. The iterative
+    logistic trainer shares every relational kernel with this path and is
+    pytest-verified on held-out accuracy (tests/test_classifier.py)."""
+    from ..operators.classifier import classifier_score, nb_logodds_weights
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_CLF_DECOR).alias("text"),
+        (F.col("doc_id") % 2 == 1).alias("label"),
+    )
+    w = nb_logodds_weights(d, n=3, n_buckets=_CLF_BUCKETS)
+    out = classifier_score(d, w, n=3, n_buckets=_CLF_BUCKETS)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "label",
+        F.col("margin").cast("decimal(38,6)").alias("margin"),
+        "clf_keep",
+    )
+
+
+QUERIES["quality_classifier"] = q_quality_classifier
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct

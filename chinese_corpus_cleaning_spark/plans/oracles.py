@@ -1734,6 +1734,50 @@ select doc_id::bigint as doc_id, n as n_tokens, cum::bigint as cum_tokens,
   ((cum - 1) // 512)::bigint as shard_last,
   ((cum - n) % 512)::bigint as offset_in_shard
 from c"""
+
+    # learned quality classifier: re-learn the NB log-odds weights over
+    # hashed char 3-grams relationally (exact integer counts -> identical
+    # double ln inputs on both engines), quantize to decimal(18,6) exactly
+    # like classifier_score, and sum the margin in EXACT decimal — the one
+    # float step (round(ln ratio, 6)) has the same cross-engine-libm
+    # precedent as the gated log2 perplexity queries. Gram extraction
+    # mirrors _gram_expr (multiplicity kept, whole-text gram when
+    # length < 3).
+    from .catalog import _CLF_BUCKETS, _CLF_DECOR
+
+    _B = _CLF_BUCKETS
+    o["quality_classifier"] = f"""
+with d as (
+  select doc_id, {_CLF_DECOR} as t, (doc_id % 2 = 1) as label
+  from documents),
+g as (
+  select doc_id, label, unnest(case when length(t) < 3 then [t]
+    else list_transform(generate_series(1, length(t) - 2),
+                        i -> substr(t, i, 3)) end) as gram
+  from d),
+f as (
+  select doc_id, label,
+    (('0x' || substr(md5(gram), 1, 15))::bigint % {_B})::int as bucket,
+    count(*) as cnt
+  from g group by 1, 2, 3),
+per as (
+  select bucket,
+    sum(case when label then cnt else 0 end) as c1,
+    sum(case when not label then cnt else 0 end) as c0
+  from f group by bucket),
+tot as (select sum(c1) as t1, sum(c0) as t0 from per),
+w as (
+  select bucket,
+    round(ln((c1 + 1.0) / (t1 + {_B}.0))
+          - ln((c0 + 1.0) / (t0 + {_B}.0)), 6)::decimal(18,6) as wq
+  from per cross join tot),
+m as (
+  select f.doc_id, sum(f.cnt * w.wq) as margin
+  from f join w using (bucket) group by 1)
+select d.doc_id::bigint as doc_id, d.label,
+  coalesce(m.margin, 0)::decimal(38,6) as margin,
+  (coalesce(m.margin, 0) > 0) as clf_keep
+from d left join m using (doc_id)"""
     return {k: v.strip() for k, v in o.items()}
 
 

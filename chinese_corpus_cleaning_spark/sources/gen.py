@@ -208,6 +208,31 @@ def docs_df(spark, n: int, partitions: int = 32):
     )
 
 
+# prose-like classes a supervised quality classifier should KEEP; everything
+# else (spam/ad/sensitive/degenerate/short/foreign) is the negative class
+QUALITY_GOOD_CLASSES = ("normal_zh", "edge_1989", "near_dup")
+
+
+def labeled_docs_df(spark, n: int, partitions: int = 32):
+    """Deterministic labeled training fixture for the learned quality
+    classifier (operators/classifier.py): (doc_id, text, label, doc_class)
+    with label 1 for the prose classes and 0 for the spam/degenerate ones.
+    Pure function of doc_id like docs_df — same corpus under any
+    partitioning, no external data."""
+    from pyspark.sql import functions as F
+
+    d = docs_df(spark, n, partitions)
+    return d.select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
+        "text",
+        F.col("doc_class")
+        .isin(*QUALITY_GOOD_CLASSES)
+        .cast("int")
+        .alias("label"),
+        "doc_class",
+    )
+
+
 # ------------------------------------------------------- synthetic media
 
 # Dimension formulas shared with the media_dims DuckDB oracle

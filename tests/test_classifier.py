@@ -1,0 +1,114 @@
+"""Learned quality classifier (operators/classifier.py): feature hashing
+semantics, NB log-odds + logistic-regression training quality on the
+deterministic labeled fixture, exact-decimal scoring, and the broadcast
+plan shape."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from chinese_corpus_cleaning_spark.operators import classifier as C
+from chinese_corpus_cleaning_spark.sources.gen import labeled_docs_df
+
+B = 4096
+
+
+@pytest.fixture(scope="module")
+def splits(spark):
+    train = labeled_docs_df(spark, 600).where(
+        F.col("doc_id") % 3 != 0
+    ).cache()
+    test = labeled_docs_df(spark, 600).where(F.col("doc_id") % 3 == 0).cache()
+    train.count(), test.count()
+    yield train, test
+    train.unpersist(), test.unpersist()
+
+
+def _accuracy(scored):
+    return scored.agg(
+        F.avg((F.col("clf_keep") == (F.col("label") == 1)).cast("double"))
+    ).first()[0]
+
+
+def test_hash_ngram_features_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, None), (4, "aaaa")],
+        "doc_id long, text string",
+    )
+    rows = C.hash_ngram_features(d, n=3, n_buckets=B).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # 'abcd' -> grams abc, bcd (2 distinct buckets w.h.p., cnt 1 each)
+    assert sum(r["cnt"] for r in by_id[1]) == 2
+    # shorter than n -> whole text as one gram
+    assert len(by_id[2]) == 1 and by_id[2][0]["cnt"] == 1
+    # NULL behaves as '' -> one empty gram
+    assert len(by_id[3]) == 1 and by_id[3][0]["cnt"] == 1
+    # multiplicity is KEPT: 'aaaa' -> gram 'aaa' twice, same bucket
+    assert len(by_id[4]) == 1 and by_id[4][0]["cnt"] == 2
+    assert all(0 <= r["bucket"] < B for r in rows)
+
+
+def test_nb_logodds_separates_fixture(spark, splits):
+    train, test = splits
+    w = C.nb_logodds_weights(train, n=3, n_buckets=B)
+    acc = _accuracy(C.classifier_score(test, w, n=3, n_buckets=B))
+    assert acc >= 0.85, acc
+
+
+def test_logreg_converges_and_separates(spark, splits):
+    train, test = splits
+    m = C.train_logreg(train, n=3, n_buckets=B, iters=25)
+    # loss strictly improves by a wide margin (AdaGrad; plain GD diverged)
+    assert m.losses[0] == pytest.approx(0.6931, abs=1e-3)
+    assert m.losses[-1] < 0.3, m.losses
+    acc = _accuracy(
+        C.classifier_score(test, m.to_df(spark), n=3, n_buckets=B, bias=m.bias)
+    )
+    assert acc >= 0.9, acc
+    # held-out accuracy also beats the label prior (classes are imbalanced)
+    prior = max(
+        r[0]
+        for r in test.groupBy("label").count().select(
+            (F.col("count") / test.count())
+        ).collect()
+    )
+    assert acc > prior
+
+
+def test_classifier_score_exact_decimal_and_total_rows(spark):
+    """margin must be EXACT decimal arithmetic: a handcrafted one-bucket
+    model yields cnt * w with no float fuzz; docs with no matching bucket
+    score exactly 0 and survive."""
+    d = spark.createDataFrame(
+        [(1, "aaaa"), (2, "zzzz"), (3, None)], "doc_id long, text string"
+    )
+    feats = {
+        r["id"]: r for r in C.hash_ngram_features(d, n=3, n_buckets=B).collect()
+    }
+    w = spark.createDataFrame(
+        [(int(feats[1]["bucket"]), 0.123456)], "bucket int, w double"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.classifier_score(d, w, n=3, n_buckets=B).collect()
+    }
+    assert len(out) == 3
+    assert out[1]["margin"] == Decimal("0.246912")  # 2 * 0.123456, exact
+    assert out[2]["margin"] == Decimal("0") and not out[2]["clf_keep"]
+    assert out[3]["margin"] == Decimal("0")
+    assert out[1]["clf_keep"] and 0.5 < out[1]["clf_score"] < 0.6
+
+
+def test_classifier_score_plan_is_broadcast(spark, splits):
+    """The 100 TB scoring path: the weight table must broadcast and the
+    plan must stay free of cartesian products."""
+    train, _ = splits
+    w = C.nb_logodds_weights(train, n=3, n_buckets=B)
+    plan = C.classifier_score(train, w, n=3, n_buckets=B)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
