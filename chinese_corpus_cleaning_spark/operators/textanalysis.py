@@ -803,6 +803,7 @@ def c4_line_filter(
     min_words: int = 3,
     min_lines_kept: int = 3,
     min_chars: int | None = None,
+    keep_cols=(),
 ) -> DataFrame:
     """C4-style line-level cleanup (Raffel et al. 2020, the C4 pipeline):
     keep only lines that END in a terminal punctuation mark (extended with
@@ -823,7 +824,9 @@ def c4_line_filter(
     standard CJK adaptation of the C4 length rule. Default None keeps the
     published C4 behavior (and the gate oracle's).
 
-    Returns (id, clean_text, n_lines, n_lines_kept, page_keep).
+    Returns (id, *keep_cols, clean_text, n_lines, n_lines_kept,
+    page_keep); ``keep_cols`` ride through untouched (pipeline
+    composition — the curation plan threads strata and counters through).
     NULL text behaves as '' (0 lines kept, page_keep false), matching the
     repo's other line operators. CRLF input is normalized (\\r stripped
     before the split) so the $ terminal anchor sees the same line bytes on
@@ -834,13 +837,21 @@ def c4_line_filter(
     length_rule = f"size(split(trim(l), ' ')) >= {min_words}"
     if min_chars is not None:
         length_rule = f"({length_rule} or length(trim(l)) >= {min_chars})"
+    # C4 drops lines containing the WORD "javascript" (Raffel et al. 2020
+    # §2.2), not the substring: "javascripts" survives, and CJK prose
+    # mentioning "JavaScript教程" is dropped only because 教 is not an
+    # ASCII word char. Boundary spelling is DIALECT-SPLIT per the pii.py
+    # doctrine: Java's \b is Unicode-aware (教 would count as a word char
+    # and SUPPRESS the match), so Spark spells explicit ASCII lookarounds;
+    # the RE2 oracle uses \b, which is ASCII by construction.
     kept = (
         f"filter({lines}, l -> {length_rule} "
         f"and trim(l) rlike '{C4_TERMINAL_RE}' "
-        f"and not lower(l) rlike 'javascript')"
+        f"and not lower(l) rlike '(?<![a-z0-9_])javascript(?![a-z0-9_])')"
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.expr(f"array_join({kept}, '\\n')").alias("clean_text"),
         F.expr(f"size({lines})").alias("n_lines"),
         F.expr(f"size({kept})").alias("n_lines_kept"),

@@ -1503,6 +1503,60 @@ def q_curation_total(spark, sf_dir):
 QUERIES["curation_total"] = q_curation_total
 
 
+# v2 decoration: the v1 corpus plus a URL (the url_blocklist gate's own
+# decoration, defined below) and one extra PER-DOC-UNIQUE C4 keeper line
+# (terminal punct + >= 3 words; unique so the boilerplate stage cannot
+# remove it first — v1's 'tail N' line is already the C4-reject case:
+# unique, no terminal punct). Shared verbatim with the DuckDB oracle.
+_CURATION_V2_TAIL = "'page ' || cast(doc_id as string) || ' end marker line.'"
+
+
+def q_curation_v2(spark, sf_dir):
+    """The round-7 curation composition (plans/curation.py with both
+    opt-in stages): URL domain blocklist (stage 0, cheapest cut first) ->
+    quality/scrub/PII -> dedup -> boilerplate removal -> C4 line cleanup
+    -> stratified sample, as ONE plan. Beyond curation_total this row
+    verifies that blocked docs never reach the text stages and that the
+    C4 stage's line drops and page flags act on the BOILERPLATE-CLEANED
+    text (the reject line vanishes from every surviving clean_text;
+    min_lines_kept=1 because the decorated bodies are single-line)."""
+    from ..plans.curation import curation_run
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"({_CURATION_DECOR}) || chr(10) || {_CURATION_V2_TAIL}").alias(
+            "text"
+        ),
+        F.expr(_BL_DECOR).alias("url"),
+        "source",
+        "lang",
+    )
+    bc = d.sparkSession.sparkContext.broadcast(build_trie(EN_LEXICON))
+    curated, _obs = curation_run(
+        d,
+        bc,
+        dedup_cfg=_SMALL_MINHASH,
+        strata=("source", "lang"),
+        k_per_stratum=3,
+        boilerplate_min_doc_frac=0.3,
+        max_band_bucket=None,
+        blocklist=_BLOCKLIST,
+        c4_lines=True,
+        c4_min_lines_kept=1,
+    )
+    return curated.select(
+        F.col("doc_id").cast("bigint"),
+        "clean_text",
+        F.col("n_lines_removed").cast("bigint"),
+        "source",
+        "lang",
+        F.col("sample_rank").cast("bigint"),
+    )
+
+
+QUERIES["curation_v2"] = q_curation_v2
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a NEW batch against a PERSISTED corpus signature
     index (operators/dedup.dedup_incremental) — the continuous-crawl shape:
@@ -1816,7 +1870,28 @@ QUERIES["quality_classifier"] = q_quality_classifier
 #                             exercise: multi-fingerprint per doc plus the
 #                             cross-doc df>=2 join; per-row bottom-1
 #                             values stay verified in the local replica)
+# round-7 demotions (admitting quality_classifier and curation_v2):
+#   curation_total         -> curation_v2 (the SAME six-stage chain with
+#                             stage 0 URL blocklist and stage 3.5 C4 line
+#                             cleanup spliced in — the v2 oracle is the v1
+#                             CTE chain with those two fragments added, so
+#                             every v1 stage is executed and verified
+#                             inside v2; identical output columns; the v1
+#                             form stays verified per-row in the local
+#                             replica)
+#   dedup_minhash_pairs    -> dedup_representatives + incremental_dedup
+#                             (representatives' gated components are the
+#                             connected components OF this pair surface —
+#                             its recursive-CTE oracle recomputes the same
+#                             shingle/signature/band CTEs and the same
+#                             candidate join; incremental_dedup gates the
+#                             slot-agreement est_jaccard arithmetic per
+#                             pair via max_est_jaccard on the cross-split
+#                             pair subset; per-pair est values on the full
+#                             surface stay verified in the local replica)
 _GATE_TAIL = [
+    "curation_total",
+    "dedup_minhash_pairs",
     "ngram_perplexity",
     "cosine_topk",
     "token_stats",

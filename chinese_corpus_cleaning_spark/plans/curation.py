@@ -1,8 +1,12 @@
 """The curation mega-pipeline: every stage a 100 TB training-data run needs,
 composed as ONE Spark plan —
 
-    quality/scrub/PII -> near-dup dedup -> corpus boilerplate removal
+    [URL blocklist ->] quality/scrub/PII -> near-dup dedup
+        -> corpus boilerplate removal [-> C4 line cleanup]
         -> deterministic stratified sample
+
+(bracketed stages are the round-7 opt-ins; a perplexity-bucket stratum
+composes by passing ppl_buckets' label column in ``strata``)
 
 The individual operators are all gate-verified (plans/catalog.py rows);
 what this module adds is their COMPOSITION: checkpoint placement, observe()
@@ -39,7 +43,11 @@ from ..config import DEFAULT, DedupConfig, PipelineConfig
 from ..operators.dedup import dedup_representatives
 from ..operators.quality import with_pii, with_quality
 from ..operators.sampling import stratified_sample
-from ..operators.textanalysis import remove_boilerplate
+from ..operators.textanalysis import (
+    c4_line_filter,
+    remove_boilerplate,
+    url_blocklist_filter,
+)
 
 __all__ = ["curation_run"]
 
@@ -55,6 +63,12 @@ def curation_run(
     max_band_bucket: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    blocklist=None,
+    url_col: str = "url",
+    c4_lines: bool = False,
+    c4_min_words: int = 3,
+    c4_min_lines_kept: int = 3,
+    c4_min_chars: int | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Returns (curated, observations). ``curated`` has columns
     (id, clean_text, n_lines_removed, *strata, sample_rank); run ONE action
@@ -65,7 +79,25 @@ def curation_run(
     Near-dup dedup runs on the ORIGINAL text (masking/scrubbing must not
     change what counts as a duplicate); the curated output text is the
     boilerplate-cleaned PII-masked scrub output (``pii_text``) — the bytes
-    a training run should actually consume."""
+    a training run should actually consume.
+
+    Round-7 composition knobs:
+
+    * ``blocklist`` (+ ``url_col``) — stage 0, the CHEAPEST cut first:
+      UT1-style domain filtering (url_blocklist_filter) drops blocked
+      docs before any text work. The matched-hits join back onto the
+      corpus is AQE's choice; hits are bounded by the blocked fraction,
+      so at bench-through-production scales it broadcasts and text stays
+      map-side (the stage precedes the kept-checkpoint either way, so
+      the audited post-checkpoint bound is unchanged).
+    * ``c4_lines`` (+ ``c4_*``) — C4 line-level cleanup between
+      boilerplate removal and sampling: pure map-side projection (no
+      shuffle); pages failing C4's page flags (poison markers /
+      too-few-kept-lines) are dropped, and removed lines fold into
+      ``n_lines_removed``.
+    * a perplexity stratum needs no knob: strata columns pass through
+      every stage, so label docs with operators/perplexity.ppl_buckets
+      first and name its ``ppl_bucket`` column in ``strata``."""
     dedup_cfg = dedup_cfg or DedupConfig()
     obs = {
         "input": Observation("curation_input"),
@@ -74,12 +106,22 @@ def curation_run(
         "sampled": Observation("curation_sampled"),
     }
 
+    # ---- stage 0 (opt-in): URL domain blocklist — drops whole documents
+    # on a slim (id, suffix) probe before any text-side work
+    work = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
+    if blocklist is not None:
+        obs["unblocked"] = Observation("curation_unblocked")
+        work = (
+            url_blocklist_filter(work, blocklist, url_col=url_col, id_col=id_col)
+            .where(~F.col("is_blocked"))
+            .drop("host", "blocked_domain", "is_blocked")
+            .observe(obs["unblocked"], F.count(F.lit(1)).alias("n"))
+        )
+
     # ---- stage 1: quality + DFA scrub + PII mask (one Arrow pass + native
     # projections, map-side; with_quality preserves passthrough columns)
     scored = with_quality(
-        docs.select(id_col, text_col, *strata).observe(
-            obs["input"], F.count(F.lit(1)).alias("n")
-        ),
+        work.select(id_col, text_col, *strata),
         trie_broadcast,
         cfg,
         text_col=text_col,
@@ -121,6 +163,30 @@ def curation_run(
         min_doc_frac=boilerplate_min_doc_frac,
         keep_cols=strata,
     )
+
+    # ---- stage 3.5 (opt-in): C4 line-level cleanup on the cleaned text —
+    # map-side only; page poison flags drop whole docs, dropped lines fold
+    # into n_lines_removed
+    if c4_lines:
+        c4ed = c4_line_filter(
+            cleaned,
+            id_col=id_col,
+            text_col="clean_text",
+            min_words=c4_min_words,
+            min_lines_kept=c4_min_lines_kept,
+            min_chars=c4_min_chars,
+            keep_cols=("n_lines_removed", *strata),
+        )
+        cleaned = c4ed.where(F.col("page_keep")).select(
+            F.col(id_col),
+            F.col("clean_text"),
+            (
+                F.col("n_lines_removed")
+                + F.col("n_lines")
+                - F.col("n_lines_kept")
+            ).alias("n_lines_removed"),
+            *strata,
+        )
 
     # ---- stage 4: deterministic per-stratum quota; winner ids broadcast
     # back (<= k x |strata| rows by construction) so text never shuffles

@@ -1684,12 +1684,15 @@ from u left join m using (doc_id)"""
         "else 'extra fine sentence here.' end)"
     )
     # \r stripped before the split exactly like the operator (Java vs RE2
-    # disagree on $ before a trailing \r — textanalysis.C4_TERMINAL_RE)
+    # disagree on $ before a trailing \r — textanalysis.C4_TERMINAL_RE).
+    # \b here is RE2's ASCII word boundary == the Spark side's explicit
+    # ASCII lookarounds (the pii.py dialect-split doctrine): C4's rule
+    # drops the WORD javascript, not the substring.
     c4_kept = (
         "list_filter(string_split(replace(t, chr(13), ''), chr(10)), l -> "
         "len(string_split(trim(l), ' ')) >= 3 "
         "and regexp_matches(trim(l), '[.!?\"。！？”」]$') "
-        "and not regexp_matches(lower(l), 'javascript'))"
+        "and not regexp_matches(lower(l), '\\bjavascript\\b'))"
     )
     o["c4_line_filter"] = f"""
 with d as (select doc_id, {c4_decor} as t from documents),
@@ -1800,7 +1803,12 @@ def build_curation() -> dict[str, str]:
          ceil(0.3 * |survivors|), then the naive single-window stratified
          sample (h60-of-id order, k=3 per (source, lang)) the two-phase
          Spark sampler provably equals."""
-    from .catalog import _CURATION_DECOR
+    from .catalog import (
+        _BL_DECOR,
+        _BLOCKLIST,
+        _CURATION_DECOR,
+        _CURATION_V2_TAIL,
+    )
     from ..functions.pii import pii_sql_chain
 
     chain = pii_sql_chain("st")
@@ -1808,6 +1816,57 @@ def build_curation() -> dict[str, str]:
     feats = _feature_cte().replace("from documents", "from d")
     wr, wf = DEFAULT.weight_rule, DEFAULT.weight_feature
     thr = DEFAULT.quality_threshold
+
+    # v2 prefix: stage 0 — blocked docs (the url_blocklist oracle's host/
+    # suffix logic retargeted at the v2 decoration) excluded from `d`
+    # BEFORE any text stage, so downstream counts (boilerplate threshold)
+    # see only unblocked docs, exactly like curation_run's stage 0.
+    bl_list = ", ".join(f"'{x}'" for x in sorted(set(_BLOCKLIST)))
+    v2_prefix = f"""
+d0 as (
+  select doc_id,
+    ({_CURATION_DECOR}) || chr(10) || {_CURATION_V2_TAIL} as text,
+    {_BL_DECOR} as url, source, lang
+  from documents),
+hosts as (
+  select doc_id, regexp_replace(nullif(lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), ''), '\\.+$', '') as host
+  from d0),
+blocked as (
+  select distinct doc_id
+  from hosts, unnest(list_transform(
+    generate_series(1, len(string_split(host, '.'))),
+    i -> array_to_string(list_slice(string_split(host, '.'), i,
+                                    len(string_split(host, '.'))), '.')))
+    as t(dom)
+  where dom in ({bl_list})),
+d as (
+  select d0.doc_id, d0.text, d0.source, d0.lang
+  from d0 left join blocked b on d0.doc_id = b.doc_id
+  where b.doc_id is null),"""
+
+    # v2 stage 3.5: C4 line cleanup over the boilerplate-cleaned text —
+    # same kept-line predicate as the c4_line_filter oracle (min_words=3,
+    # RE2 \\b word rule), page flags on the INPUT text, min_lines_kept=1,
+    # dropped lines folded into n_lines_removed
+    v2_c4 = """
+c4 as (
+  select doc_id, source, lang, clean_text as ct, n_lines_removed,
+    list_filter(string_split(replace(clean_text, chr(13), ''), chr(10)),
+      l -> len(string_split(trim(l), ' ')) >= 3
+        and regexp_matches(trim(l), '[.!?"。！？”」]$')
+        and not regexp_matches(lower(l), '\\bjavascript\\b')) as kept
+  from cleaned),
+c4f as (
+  select doc_id, source, lang,
+    array_to_string(kept, chr(10)) as clean_text,
+    (n_lines_removed + len(string_split(replace(ct, chr(13), ''), chr(10)))
+     - len(kept))::bigint as n_lines_removed
+  from c4
+  where len(kept) >= 1
+    and not regexp_matches(lower(ct), 'lorem ipsum')
+    and not regexp_matches(ct, '[{]')),"""
+
     sql = f"""
 with recursive
 d as (select doc_id, {_CURATION_DECOR} as text, source, lang from documents),
@@ -1861,4 +1920,24 @@ sampled as (
 select doc_id::bigint as doc_id, clean_text, n_lines_removed,
   source, lang, sample_rank::bigint as sample_rank
 from sampled where sample_rank <= 3"""
-    return {"curation_total": sql.strip()}
+
+    # curation_v2 = the v1 chain with (a) `d` replaced by the blocklist-
+    # filtered v2-decorated prefix and (b) the C4 stage spliced between
+    # `cleaned` and `sampled` (the sampler reads c4f instead)
+    v1_d_cte = (
+        f"d as (select doc_id, {_CURATION_DECOR} as text, source, lang "
+        "from documents),"
+    )
+    sql_v2 = sql.replace(v1_d_cte, v2_prefix.strip() + "\n")
+    assert sql_v2 != sql, "v1 d-CTE anchor not found for the v2 rewrite"
+    sql_v2 = sql_v2.replace(
+        "sampled as (",
+        v2_c4.strip() + "\nsampled as (",
+    ).replace(
+        """               doc_id) as sample_rank
+  from cleaned)""",
+        """               doc_id) as sample_rank
+  from c4f)""",
+    )
+    assert "from c4f)" in sql_v2, "sampler anchor not found for the v2 rewrite"
+    return {"curation_total": sql.strip(), "curation_v2": sql_v2.strip()}

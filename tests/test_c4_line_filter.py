@@ -45,6 +45,30 @@ def test_c4_line_and_page_semantics(spark):
     assert out[5]["n_lines_kept"] == 2 and not out[5]["page_keep"]
 
 
+def test_c4_javascript_word_boundary(spark):
+    """C4 drops lines with the WORD javascript (published rule), not the
+    substring: 'javascripts' survives; 'JavaScript教程' is dropped (教 is
+    not an ASCII word char) — the explicit-ASCII-lookaround spelling the
+    Unicode-aware Java \\b would get wrong."""
+    d = spark.createDataFrame(
+        [
+            (1, "we enable javascript on this page.\nA clean keeper line here."),
+            (2, "these javascripts are plural words.\nA clean keeper line here."),
+            (3, "阅读 这个 JavaScript教程 文档 。\nA clean keeper line here."),
+            (4, "my_javascript var is snake case.\nA clean keeper line here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_filter(d, min_lines_kept=1).collect()
+    }
+    assert out[1]["n_lines_kept"] == 1  # word match -> dropped
+    assert out[2]["n_lines_kept"] == 2  # plural is a different word
+    assert out[3]["n_lines_kept"] == 1  # CJK neighbor is a boundary
+    assert out[4]["n_lines_kept"] == 2  # '_' suppresses the boundary
+
+
 def test_c4_crlf_normalized(spark):
     """CRLF pages: trailing \\r must not defeat the terminal-punct anchor
     (and must not survive into clean_text) — the Java-$ vs RE2-$ split."""

@@ -138,6 +138,86 @@ def test_deterministic_under_repartition(spark, corpus):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_v2_blocklist_and_c4_compose(spark, corpus):
+    """Round-7 opt-in stages: blocked URLs never reach the text stages;
+    the C4 stage acts on the BOILERPLATE-CLEANED text (footer lines are
+    already gone), folds its drops into n_lines_removed, and its page
+    flag drops pages that keep too few lines."""
+    # give every doc a URL; docs 6 and 12 land on a blocked domain
+    with_urls = corpus.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id").isin(6, 12),
+            F.concat(F.lit("https://ads.example.com/x/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("https://ok.example.net/y/"), F.col("doc_id"))
+        ),
+    )
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, obs = curation_run(
+        with_urls,
+        bc,
+        strata=("source",),
+        k_per_stratum=30,
+        blocklist=["ads.example.com"],
+        c4_lines=True,
+        # the hanzi bodies are unsegmented (1 whitespace word) and end
+        # without terminal punctuation; admit them via the CJK escape
+        # hatch on length only by relaxing both line rules
+        c4_min_words=1,
+        c4_min_lines_kept=1,
+        c4_min_chars=1,
+    )
+    rows = curated.collect()
+    assert obs["input"].get["n"] == 37
+    assert obs["unblocked"].get["n"] == 35  # docs 6 and 12 blocked
+    # no corpus line ends in terminal punctuation, so C4's page flag
+    # (min 1 kept line) drops every page — the composed pipeline runs
+    # end-to-end through all six stages and the blocklist cut is visible
+    # in the observation metrics even with an empty final sample
+    assert rows == []
+
+
+def test_v2_c4_folds_line_counts(spark):
+    """Self-contained v2 corpus with C4-decidable lines: keeper lines
+    survive, the punct-less junk line is dropped and counted, boilerplate
+    removal still precedes C4 (its removed line is not double-counted)."""
+    rows = []
+    for i in range(12):
+        body = "\n".join(
+            [
+                f"这是第{i}篇文档的完整中文句子内容丰富结构清晰表述自然流畅。",
+                f"第二行继续提供编号{i}的真实中文语句保证质量分数合格通过。",
+                f"第三行文字编号{i}用来满足最小长度与中文比例规则要求。",
+                f"第四行收尾编号{i}的句子让文档长度超过一百字符的阈值。",
+                "junk line no punct " + str(i),
+                "每页共有的页脚行会被语料级样板检测移除。",
+            ]
+        )
+        rows.append((i, body, f"s{i % 2}"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, obs = curation_run(
+        corpus,
+        bc,
+        strata=("source",),
+        k_per_stratum=20,
+        c4_lines=True,
+        c4_min_words=1,
+        c4_min_lines_kept=1,
+        c4_min_chars=1,
+    )
+    out = {r["doc_id"]: r for r in curated.collect()}
+    assert len(out) == 12
+    for i, r in out.items():
+        # 6 lines: footer removed by boilerplate (1), junk line dropped
+        # by C4 (1) -> 2 removed, 4 keepers survive
+        assert r["n_lines_removed"] == 2, r
+        assert len(r["clean_text"].split("\n")) == 4
+        assert "junk line" not in r["clean_text"]
+        assert "页脚行" not in r["clean_text"]
+
+
 def test_no_text_column_keys_a_shuffle(spark, corpus):
     """Post-checkpoint plan (boilerplate + sampler + final join): every
     hashpartitioning key is an id / digest / stratum — never a text body.
