@@ -476,6 +476,113 @@ def dedup_incremental(
     )
 
 
+def fold_into_index(
+    new_docs: DataFrame,
+    corpus_index: DataFrame | None,
+    cfg: DedupConfig = DedupConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_new: bool = True,
+    max_band_bucket: int | None = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE full operational step of a continuously-crawled corpus — the
+    loop dedup_incremental's docstring declared out of scope, closed:
+
+      1. label every new doc against the persisted corpus signature index
+         (dedup_incremental join shape: the corpus side crosses zero
+         shuffles when the increment broadcasts);
+      2. dedup the non-corpus-dup remainder against EACH OTHER
+         (dedup_representatives semantics: exact md5 pass, capped banded
+         LSH over distinct texts, connected components, min-id reps);
+      3. append the SURVIVORS' signatures to the index.
+
+    Returns ``(labels, new_index)``:
+
+    * labels — (id, is_duplicate, dup_of, dup_source) per new doc;
+      dup_source is 'corpus' (matched the index; dup_of = min matching
+      corpus id), 'batch' (matched an earlier surviving new doc; dup_of =
+      its component representative), or NULL for survivors.
+    * new_index — corpus_index ∪ with_minhash(survivors), the input for
+      the next increment. Signatures are computed ONCE per doc per step
+      (checkpointed); at 100 TB the index is an append-only table and
+      each step appends only its survivor rows.
+
+    ``corpus_index=None`` bootstraps an empty index (step 1 skipped).
+
+    Sequential-vs-concatenated equality: processing increments B1 then B2
+    yields the same survivor set, index, and is_duplicate flags as one
+    concatenated batch B1 ∪ B2, PROVIDED (a) ids are monotone across
+    increments (a later increment never carries a smaller id than an
+    earlier one — true for time-ordered crawl batches; otherwise the
+    min-id election can pick a representative the sequential run already
+    marked duplicate), (b) duplicate families are pairwise LSH-linked
+    (members matching only through a REMOVED intermediate doc — a chain
+    a~x, x~b with a!~b where x was deduped away — can split or merge
+    differently, since removed docs' signatures are not folded), and
+    (c) the same ``max_band_bucket`` cap is in force on both paths (the
+    incremental probe is uncapped; pass None for the provable form).
+    tests/test_dedup_spark.py pins the equality on the generator corpus.
+    """
+    signed_new = with_minhash(new_docs, cfg, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    ids = signed_new.select(F.col(id_col).alias("id"))
+    if corpus_index is not None:
+        pairs = _incremental_pairs_from_signed(
+            signed_new, corpus_index, cfg, id_col, broadcast_new
+        )
+        corpus_dup = pairs.groupBy("new_id").agg(
+            F.min("corpus_id").alias("dup_of")
+        )
+        remaining = new_docs.join(
+            corpus_dup.select(F.col("new_id").alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+    else:
+        corpus_dup = None
+        remaining = new_docs
+    internal = dedup_representatives(
+        remaining, cfg, id_col, text_col, max_band_bucket
+    )
+    batch_labels = internal.select(
+        "id",
+        F.col("is_duplicate").alias("__batch_dup"),
+        F.when(F.col("is_duplicate"), F.col("component")).alias("__batch_of"),
+    ).localCheckpoint(eager=True)
+    lab = ids.join(batch_labels, "id", "left")
+    if corpus_dup is not None:
+        lab = lab.join(
+            corpus_dup.withColumnRenamed("new_id", "id").withColumnRenamed(
+                "dup_of", "__corpus_of"
+            ),
+            "id",
+            "left",
+        )
+    else:
+        # untyped NULL: coalesce resolves it to the id column's own type
+        lab = lab.withColumn("__corpus_of", F.lit(None))
+    labels = lab.select(
+        "id",
+        (
+            F.col("__corpus_of").isNotNull()
+            | F.coalesce(F.col("__batch_dup"), F.lit(False))
+        ).alias("is_duplicate"),
+        F.coalesce(F.col("__corpus_of"), F.col("__batch_of")).alias("dup_of"),
+        F.when(F.col("__corpus_of").isNotNull(), F.lit("corpus"))
+        .when(F.coalesce(F.col("__batch_dup"), F.lit(False)), F.lit("batch"))
+        .alias("dup_source"),
+    )
+    survivors = batch_labels.where(~F.col("__batch_dup")).select(
+        F.col("id").alias(id_col)
+    )
+    appended = signed_new.join(survivors, id_col, "left_semi")
+    new_index = (
+        appended if corpus_index is None else corpus_index.union(appended)
+    )
+    return labels, new_index
+
+
 # ------------------------------------------------------- n-gram jaccard pairs
 
 

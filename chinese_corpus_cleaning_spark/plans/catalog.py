@@ -1565,7 +1565,12 @@ def q_incremental_dedup(spark, sf_dir):
     shuffles), new batch = odd doc_ids. The generator's near-dup families
     span consecutive ids, so cross-split matches exist by construction.
     Labels per new doc: (doc_id, is_duplicate, dup_of = min matching corpus
-    id, n_corpus_matches, max_est_jaccard)."""
+    id, n_corpus_matches, max_est_jaccard), plus the round-7 index-fold
+    column ``in_index_after`` (dedup.fold_into_index): true iff the doc's
+    signatures join the folded index — not a corpus dup AND the min-id
+    representative of its batch-internal component. The oracle recomputes
+    the internal components with the same recursive-CTE machinery as
+    dedup_representatives, restricted to non-corpus-dup new docs."""
     d = load(spark, sf_dir, "documents")
     # localCheckpoint: dedup_incremental scans the index twice (band probe +
     # signature fetch); without materialization the corpus MinHash would
@@ -1573,15 +1578,21 @@ def q_incremental_dedup(spark, sf_dir):
     corpus_index = dedup.with_minhash(
         d.where("doc_id % 2 = 0"), _SMALL_MINHASH
     ).localCheckpoint(eager=True)
-    out = dedup.dedup_incremental(
-        d.where("doc_id % 2 = 1"), corpus_index, _SMALL_MINHASH
+    new = d.where("doc_id % 2 = 1")
+    out = dedup.dedup_incremental(new, corpus_index, _SMALL_MINHASH)
+    _labels, new_index = dedup.fold_into_index(
+        new, corpus_index, _SMALL_MINHASH, max_band_bucket=None
     )
-    return out.select(
+    folded = new_index.where("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("id"), F.lit(True).alias("in_index_after")
+    )
+    return out.join(folded, "id", "left").select(
         F.col("id").cast("bigint").alias("doc_id"),
         "is_duplicate",
         F.col("dup_of").cast("bigint"),
         F.col("n_corpus_matches").cast("bigint"),
         F.round("max_est_jaccard", 9).alias("max_est_jaccard"),
+        F.coalesce("in_index_after", F.lit(False)).alias("in_index_after"),
     )
 
 

@@ -1608,8 +1608,16 @@ from documents"""
     # by construction); same signature/band CTEs as dedup_minhash_pairs,
     # candidates restricted to corpus x new, then per-new-doc min-corpus-id
     # labels — mirrors operators/dedup.dedup_incremental
+    # ... plus the round-7 fold extension: internal components among the
+    # non-corpus-dup new docs (exact text groups + near edges derived from
+    # the SAME sig/bandt CTEs restricted to survivors — equivalent to the
+    # Spark side's reps-only LSH because identical texts have identical
+    # signatures, so connectivity through exact members is preserved);
+    # in_index_after = survivor AND min-id representative of its component.
+    thr = _SMALL_MINHASH.similarity_threshold
     o["incremental_dedup"] = f"""
-with sh as ({_SHINGLES5}),
+with recursive
+sh as ({_SHINGLES5}),
 sig as ({_SIG}),
 bandt as ({_BANDS}),
 cand as (
@@ -1626,14 +1634,51 @@ agree as (
 m as (
   select new_id, min(corpus_id) as dup_of,
          count(*) as n_corpus_matches, max(agr / {_NH}) as max_est
-  from agree where agr / {_NH} >= {_SMALL_MINHASH.similarity_threshold}
-  group by 1)
+  from agree where agr / {_NH} >= {thr}
+  group by 1),
+surv as (
+  select d.doc_id, d.text from documents d
+  left join m on m.new_id = d.doc_id
+  where d.doc_id % 2 = 1 and m.new_id is null),
+sgroups as (select text, min(doc_id) as rep from surv group by text),
+sexact as (
+  select g.rep as id_a, s.doc_id as id_b
+  from surv s join sgroups g on s.text = g.text
+  where s.doc_id <> g.rep),
+scand as (
+  select distinct a.doc_id as id_a, b.doc_id as id_b
+  from bandt a join bandt b using (band_key)
+  join surv sa on sa.doc_id = a.doc_id
+  join surv sb on sb.doc_id = b.doc_id
+  where a.doc_id < b.doc_id),
+sagree as (
+  select c.id_a, c.id_b,
+         sum(case when xa.minhash = xb.minhash then 1 else 0 end) as agr
+  from scand c
+  join sig xa on xa.doc_id = c.id_a
+  join sig xb on xb.doc_id = c.id_b and xb.slot = xa.slot
+  group by 1, 2),
+sedges as (
+  select id_a, id_b from sagree where agr / {_NH} >= {thr}
+  union select id_a, id_b from sexact),
+ssym as (
+  select id_a as s, id_b as t from sedges
+  union select id_b as s, id_a as t from sedges),
+sreach as (
+  select s as id, t as r from ssym
+  union
+  select sreach.id, ssym.t as r from sreach join ssym on sreach.r = ssym.s),
+scomp as (select id, least(id, min(r)) as comp from sreach group by id)
 select d.doc_id::bigint as doc_id,
        m.new_id is not null as is_duplicate,
        m.dup_of::bigint as dup_of,
        coalesce(m.n_corpus_matches, 0)::bigint as n_corpus_matches,
-       round(m.max_est, 9) as max_est_jaccard
-from documents d left join m on m.new_id = d.doc_id
+       round(m.max_est, 9) as max_est_jaccard,
+       (m.new_id is null
+        and coalesce(sc.comp, d.doc_id) = d.doc_id) as in_index_after
+from documents d
+left join m on m.new_id = d.doc_id
+left join scomp sc on sc.id = d.doc_id
 where d.doc_id % 2 = 1"""
 
     # UT1-style domain blocklist: host via regex (nullif '' mirrors Spark's

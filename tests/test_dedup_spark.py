@@ -335,3 +335,86 @@ def test_incremental_equals_full_cross_split(spark):
         else:
             assert not r["is_duplicate"]
             assert r["dup_of"] is None and r["n_corpus_matches"] == 0
+
+
+def test_fold_into_index_sequential_equals_concatenated(spark):
+    """fold_into_index closes the operational loop: two increments
+    processed sequentially must equal one concatenated batch — labels
+    (is_duplicate AND dup_of) and the folded index — under the documented
+    provisos: monotone ids across increments, pairwise-LSH-linked families
+    (normal_zh + near_dup classes: family members share an 8-sentence
+    base, so every member pair links directly), and the same cap (None =
+    the provable form) on both paths."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    docs = (
+        gen.docs_df(spark, 600, partitions=4)
+        .where(F.col("doc_class").isin("normal_zh", "near_dup"))
+        .select(
+            F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
+            "text",
+        )
+        .cache()
+    )
+    b1 = docs.where("doc_id < 300")
+    b2 = docs.where("doc_id >= 300")
+
+    l_all, idx_all = dedup.fold_into_index(
+        docs, None, cfg, max_band_bucket=None
+    )
+    l1, idx1 = dedup.fold_into_index(b1, None, cfg, max_band_bucket=None)
+    idx1 = idx1.localCheckpoint(eager=True)
+    l2, idx2 = dedup.fold_into_index(b2, idx1, cfg, max_band_bucket=None)
+
+    one_shot = {r["id"]: (r["is_duplicate"], r["dup_of"]) for r in l_all.collect()}
+    seq = {r["id"]: (r["is_duplicate"], r["dup_of"]) for r in l1.collect()}
+    seq.update(
+        {r["id"]: (r["is_duplicate"], r["dup_of"]) for r in l2.collect()}
+    )
+    assert one_shot == seq
+    ids_all = sorted(r["doc_id"] for r in idx_all.select("doc_id").collect())
+    ids_seq = sorted(r["doc_id"] for r in idx2.select("doc_id").collect())
+    assert ids_all == ids_seq
+    # the index is exactly the survivor set
+    assert set(ids_all) == {k for k, v in one_shot.items() if not v[0]}
+    # sources: second increment must see at least one corpus-side dup
+    # (near-dup families straddle the id-300 boundary by construction)
+    srcs = {r["id"]: r["dup_source"] for r in l2.collect()}
+    assert "corpus" in set(srcs.values())
+    # survivors carry NULL source; every dup carries one
+    for r in l2.collect():
+        assert (r["dup_source"] is None) == (not r["is_duplicate"])
+
+
+def test_fold_into_index_bootstrap_matches_representatives(spark):
+    """corpus_index=None bootstraps: labels must equal
+    dedup_representatives over the same batch (batch-internal semantics),
+    and every new doc appears in exactly one of {index, duplicates}."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    docs = gen.docs_df(spark, 300, partitions=4).select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"), "text"
+    )
+    labels, index = dedup.fold_into_index(
+        docs, None, cfg, max_band_bucket=None
+    )
+    reps = {
+        r["id"]: (r["is_duplicate"], r["component"])
+        for r in dedup.dedup_representatives(
+            docs, cfg, max_band_bucket=None
+        ).collect()
+    }
+    got = {r["id"]: r for r in labels.collect()}
+    assert set(got) == set(reps)
+    for i, (dup, comp) in reps.items():
+        assert got[i]["is_duplicate"] == dup
+        assert got[i]["dup_of"] == (comp if dup else None)
+        assert got[i]["dup_source"] == ("batch" if dup else None)
+    idx_ids = {r["doc_id"] for r in index.select("doc_id").collect()}
+    assert idx_ids == {i for i, (dup, _) in reps.items() if not dup}
