@@ -78,6 +78,27 @@ def main(cpus: int, n_docs: int) -> None:
         .agg(F.count(F.lit(1)), F.sum(F.col("is_duplicate").cast("long")))
         .collect(),
     )
+
+    # round-7 supervised axis: NB log-odds train (one relational pass over
+    # hashed char 3-grams) + broadcast exact-decimal scoring, both over the
+    # full corpus — the explode/agg + broadcast-join shapes under scaling
+    def _clf():
+        from chinese_corpus_cleaning_spark.operators import classifier
+
+        lab = docs.select(
+            F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
+            "text",
+            F.col("doc_class")
+            .isin(*gen.QUALITY_GOOD_CLASSES)
+            .cast("int")
+            .alias("label"),
+        )
+        w = classifier.nb_logodds_weights(lab, n=3, n_buckets=1 << 16)
+        classifier.classifier_score(lab, w, n=3, n_buckets=1 << 16).agg(
+            F.count(F.lit(1)), F.sum(F.col("clf_keep").cast("long"))
+        ).collect()
+
+    timed("quality_classifier", _clf)
     spark.stop()
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "timings": timings}))
 

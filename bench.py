@@ -18,6 +18,11 @@ Stages:
   composite_ann    PRODUCTION 4-component composite (rule+feature UDF +
                    n-gram ppl + RP-LSH-bucketed cluster score) — the
                    CartesianProduct-free plan that runs at 100 TB
+  quality_classifier  the supervised quality axis (operators/classifier.py):
+                   NB log-odds weights trained relationally on the labeled
+                   generated corpus (explode -> agg over hashed char
+                   3-grams), then the broadcast exact-decimal scorer over
+                   the same corpus — train + score, both distributed
   curation_total   the composed curation mega-pipeline (plans/curation.py):
                    quality/scrub/PII -> near-dup dedup -> corpus boilerplate
                    removal -> deterministic stratified sample as ONE plan
@@ -168,6 +173,27 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         .agg(F.count(F.lit(1)), F.sum(F.col("keep_full").cast("long")))
         .collect(),
     )
+
+    def _clf():
+        from chinese_corpus_cleaning_spark.operators import classifier
+        from chinese_corpus_cleaning_spark.sources.gen import (
+            QUALITY_GOOD_CLASSES,
+        )
+
+        lab = gen_docs.select(
+            F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
+            "text",
+            F.col("doc_class")
+            .isin(*QUALITY_GOOD_CLASSES)
+            .cast("int")
+            .alias("label"),
+        )
+        w = classifier.nb_logodds_weights(lab, n=3, n_buckets=1 << 14)
+        classifier.classifier_score(lab, w, n=3, n_buckets=1 << 14).agg(
+            F.count(F.lit(1)), F.sum(F.col("clf_keep").cast("long"))
+        ).collect()
+
+    timed("quality_classifier", _clf)
 
     def _curation():
         from chinese_corpus_cleaning_spark.plans.curation import curation_run

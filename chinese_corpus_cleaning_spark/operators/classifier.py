@@ -300,11 +300,18 @@ def classifier_score(
     BEFORE the per-doc sum, so the margin is exact decimal arithmetic —
     bit-identical across engines and partitionings regardless of
     float-add order (CLAUDE.md decimal-sums doctrine; quantize=None
-    keeps raw double weights when exactness is not needed). Docs whose
-    grams all miss the weight table score margin = 0 (left join +
-    coalesce), and every input row survives.
+    keeps raw double weights when exactness is not needed). Grams that
+    miss the weight table contribute 0 (left join + coalesce); every
+    input doc appears in the output (NULL text is one '' gram, so the
+    gram table covers all ids).
 
-    Returns docs + (margin decimal(38,q) | double, clf_score, clf_keep).
+    Returns a SLIM labels frame (id, margin, clf_score, clf_keep) — the
+    dedup_representatives contract: text never enters the operator's
+    shuffles (grams explode and partially aggregate inside the scan
+    partition; only (id, bucket, cnt) and (id, margin) rows move).
+    Joining scores back onto full documents would co-shuffle the text
+    bodies; filter with a broadcast/semi join on the keep ids instead,
+    or join the slim frame against a slim projection.
     """
     feats = hash_ngram_features(docs, n, n_buckets, id_col, text_col)
     if quantize is not None:
@@ -324,15 +331,11 @@ def classifier_score(
         .agg(F.sum(F.col("cnt") * F.coalesce(F.col("__wq"), zero)).alias("__m"))
     )
     margin = F.coalesce(F.col("__m"), zero) + bias_term
-    out = docs.join(
-        margins, F.col(id_col) == F.col("id"), "left"
-    ).drop("id")
-    return (
-        out.withColumn("margin", margin)
-        .withColumn(
-            "clf_score",
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin").cast("double"))),
-        )
-        .withColumn("clf_keep", F.col("margin") > zero)
-        .drop("__m")
+    return margins.select(
+        "id",
+        margin.alias("margin"),
+        (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin.cast("double"))))
+        ).alias("clf_score"),
+        (margin > zero).alias("clf_keep"),
     )

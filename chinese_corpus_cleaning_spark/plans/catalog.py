@@ -1760,9 +1760,11 @@ def q_quality_classifier(spark, sf_dir):
     )
     w = nb_logodds_weights(d, n=3, n_buckets=_CLF_BUCKETS)
     out = classifier_score(d, w, n=3, n_buckets=_CLF_BUCKETS)
+    # classifier_score returns the slim labels frame (text never enters a
+    # shuffle); the parity label re-derives from the id, no join needed
     return out.select(
-        F.col("doc_id").cast("bigint"),
-        "label",
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.col("id") % 2 == 1).alias("label"),
         F.col("margin").cast("decimal(38,6)").alias("margin"),
         "clf_keep",
     )

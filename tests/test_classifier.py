@@ -27,8 +27,11 @@ def splits(spark):
     train.unpersist(), test.unpersist()
 
 
-def _accuracy(scored):
-    return scored.agg(
+def _accuracy(scored, labeled):
+    joined = scored.join(
+        labeled.select(F.col("doc_id").alias("id"), "label"), "id"
+    )
+    return joined.agg(
         F.avg((F.col("clf_keep") == (F.col("label") == 1)).cast("double"))
     ).first()[0]
 
@@ -56,7 +59,7 @@ def test_hash_ngram_features_semantics(spark):
 def test_nb_logodds_separates_fixture(spark, splits):
     train, test = splits
     w = C.nb_logodds_weights(train, n=3, n_buckets=B)
-    acc = _accuracy(C.classifier_score(test, w, n=3, n_buckets=B))
+    acc = _accuracy(C.classifier_score(test, w, n=3, n_buckets=B), test)
     assert acc >= 0.85, acc
 
 
@@ -67,7 +70,8 @@ def test_logreg_converges_and_separates(spark, splits):
     assert m.losses[0] == pytest.approx(0.6931, abs=1e-3)
     assert m.losses[-1] < 0.3, m.losses
     acc = _accuracy(
-        C.classifier_score(test, m.to_df(spark), n=3, n_buckets=B, bias=m.bias)
+        C.classifier_score(test, m.to_df(spark), n=3, n_buckets=B, bias=m.bias),
+        test,
     )
     assert acc >= 0.9, acc
     # held-out accuracy also beats the label prior (classes are imbalanced)
@@ -83,7 +87,7 @@ def test_logreg_converges_and_separates(spark, splits):
 def test_classifier_score_exact_decimal_and_total_rows(spark):
     """margin must be EXACT decimal arithmetic: a handcrafted one-bucket
     model yields cnt * w with no float fuzz; docs with no matching bucket
-    score exactly 0 and survive."""
+    score exactly 0; every input doc appears in the slim labels frame."""
     d = spark.createDataFrame(
         [(1, "aaaa"), (2, "zzzz"), (3, None)], "doc_id long, text string"
     )
@@ -94,7 +98,7 @@ def test_classifier_score_exact_decimal_and_total_rows(spark):
         [(int(feats[1]["bucket"]), 0.123456)], "bucket int, w double"
     )
     out = {
-        r["doc_id"]: r
+        r["id"]: r
         for r in C.classifier_score(d, w, n=3, n_buckets=B).collect()
     }
     assert len(out) == 3
@@ -104,11 +108,25 @@ def test_classifier_score_exact_decimal_and_total_rows(spark):
     assert out[1]["clf_keep"] and 0.5 < out[1]["clf_score"] < 0.6
 
 
-def test_classifier_score_plan_is_broadcast(spark, splits):
-    """The 100 TB scoring path: the weight table must broadcast and the
-    plan must stay free of cartesian products."""
+def test_classifier_score_plan_shape(spark, splits):
+    """The 100 TB scoring path: the weight table must broadcast, no
+    cartesian products, and TEXT never keys a shuffle (the slim-labels
+    contract — only (id, bucket, cnt) / (id, margin) rows move)."""
+    import io
+    import contextlib
+    import re
+
     train, _ = splits
-    w = C.nb_logodds_weights(train, n=3, n_buckets=B)
-    plan = C.classifier_score(train, w, n=3, n_buckets=B)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    w = C.nb_logodds_weights(train, n=3, n_buckets=B).localCheckpoint(
+        eager=True
+    )
+    scored = C.classifier_score(train, w, n=3, n_buckets=B)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        for key in keys.split(", "):
+            assert not re.match(r"text#", key), (key, plan)
