@@ -235,3 +235,34 @@ def test_empty_table_through_round6_ops(spark):
         empty.select("doc_id", "url"), ["x.example.com"]
     ).count() == 0
     assert c4_line_filter(empty.select("doc_id", "text")).count() == 0
+
+
+def test_classifier_survives_nulls_and_empty(spark, nullish):
+    """Round-7 classifier: NULL/empty texts score (as the '' gram), empty
+    tables flow through feature hashing, NB training, and scoring."""
+    from chinese_corpus_cleaning_spark.operators import classifier as C
+
+    lab = nullish.withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    w = C.nb_logodds_weights(lab, n=3, n_buckets=64)
+    scored = {r["id"]: r for r in C.classifier_score(lab, w, n=3, n_buckets=64).collect()}
+    assert set(scored) == {1, 2, 3, 4}  # null text scores, never vanishes
+    assert all(r["margin"] is not None for r in scored.values())
+
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    assert C.hash_ngram_features(empty, n=3, n_buckets=64).count() == 0
+    assert C.nb_logodds_weights(empty, n=3, n_buckets=64).count() == 0
+    assert C.classifier_score(
+        empty, spark.createDataFrame([], "bucket int, w double"), n=3, n_buckets=64
+    ).count() == 0
+
+
+def test_fold_into_index_survives_nulls_and_empty(spark, nullish):
+    """Round-7 fold: null/empty texts fold like any doc; an EMPTY increment
+    against a real index returns no labels and the unchanged index."""
+    cfg = DedupConfig(num_hashes=16, num_bands=4)
+    labels, index = dedup.fold_into_index(nullish, None, cfg)
+    assert labels.count() == 4
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    l2, idx2 = dedup.fold_into_index(empty, index.localCheckpoint(eager=True), cfg)
+    assert l2.count() == 0
+    assert idx2.count() == index.count()
