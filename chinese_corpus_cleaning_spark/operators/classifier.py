@@ -289,6 +289,7 @@ def classifier_score(
     quantize: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "relational",
 ) -> DataFrame:
     """Score every document with a linear model over hashed char n-grams:
     margin = sum(cnt_j * w_j) + bias, clf_score = sigmoid(margin),
@@ -305,6 +306,24 @@ def classifier_score(
     input doc appears in the output (NULL text is one '' gram, so the
     gram table covers all ids).
 
+    ``method`` picks the physical shape (measured, BENCH/clf_score_ab.py
+    at 100k docs local[8], min-of-3: pandas 3.04 s vs relational-decimal
+    6.23 s — 2.05x, and the pandas path crosses ZERO shuffles):
+
+    * ``"relational"`` (default) — explode -> partial agg -> broadcast
+      weight join -> slim groupBy(id). Exact decimal margins, fully
+      SQL-expressible: the driver-gate/oracle form. Default because the
+      cross-engine-exact path must be what the gated catalog query runs.
+    * ``"pandas"`` — the 100 TB production path: weights collapse to one
+      dense numpy vector (8 * n_buckets bytes, 2 MiB at the default),
+      broadcast once, and each doc scores inside a single Arrow batch
+      pass (per-batch gram->bucket memo amortizes the md5s). No explode,
+      no shuffle, no join — a pure map over the scan. Margins are float
+      (batch-local add order), so use it where bit-exactness across
+      engines is not required; ``quantize`` is ignored. clf_keep can
+      differ from the decimal path only for |margin| within float noise
+      of 0 (tests pin agreement on a fixture).
+
     Returns a SLIM labels frame (id, margin, clf_score, clf_keep) — the
     dedup_representatives contract: text never enters the operator's
     shuffles (grams explode and partially aggregate inside the scan
@@ -313,6 +332,12 @@ def classifier_score(
     bodies; filter with a broadcast/semi join on the keep ids instead,
     or join the slim frame against a slim projection.
     """
+    if method == "pandas":
+        return _classifier_score_mapside(
+            docs, weights, n, n_buckets, bias, id_col, text_col
+        )
+    if method != "relational":
+        raise ValueError(f"unknown method: {method!r}")
     feats = hash_ngram_features(docs, n, n_buckets, id_col, text_col)
     if quantize is not None:
         wcol = F.round(F.col("w"), quantize).cast(f"decimal(18,{quantize})")
@@ -338,4 +363,73 @@ def classifier_score(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin.cast("double"))))
         ).alias("clf_score"),
         (margin > zero).alias("clf_keep"),
+    )
+
+
+def _classifier_score_mapside(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int,
+    n_buckets: int,
+    bias: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """classifier_score's ``method="pandas"`` body: broadcast a dense
+    weight vector, score in one Arrow pass over the scan. The weight
+    collect is <= n_buckets rows by the (bucket, w) contract (duplicate
+    bucket rows would be last-write-wins here but join-duplicated in the
+    relational path — both trainers groupBy(bucket), so neither emits
+    them). Gram bag semantics match :func:`_gram_expr` exactly: NULL
+    text scores as '', texts shorter than n contribute the whole text as
+    one gram; the hash is the repo h60 (functions/hashing.py) mod
+    n_buckets, memoized per Arrow batch (web text repeats grams heavily
+    both within and across docs)."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark = docs.sparkSession
+    wp = weights.select("bucket", "w").toPandas()
+    w_np = np.zeros(n_buckets, dtype="float64")
+    w_np[wp["bucket"].to_numpy(dtype="int64")] = wp["w"].to_numpy(
+        dtype="float64"
+    )
+    w_bc = spark.sparkContext.broadcast(w_np)
+    bias_f = float(bias)
+
+    @pandas_udf("double")
+    def _margin(texts: pd.Series) -> pd.Series:
+        w = w_bc.value
+        memo: dict[str, int] = {}
+        out = np.empty(len(texts), dtype="float64")
+        for i, t in enumerate(texts):
+            t = t or ""
+            grams = (
+                (t,)
+                if len(t) < n
+                else (t[j : j + n] for j in range(len(t) - n + 1))
+            )
+            m = bias_f
+            for g, c in Counter(grams).items():
+                b = memo.get(g)
+                if b is None:
+                    b = (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        % n_buckets
+                    )
+                    memo[g] = b
+                m += w[b] * c
+            out[i] = m
+        return pd.Series(out)
+
+    margin = F.col("__margin")
+    return docs.select(
+        F.col(id_col).alias("id"), _margin(F.col(text_col)).alias("__margin")
+    ).select(
+        "id",
+        margin.alias("margin"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("clf_score"),
+        (margin > F.lit(0.0)).alias("clf_keep"),
     )

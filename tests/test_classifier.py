@@ -130,3 +130,73 @@ def test_classifier_score_plan_shape(spark, splits):
     for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         for key in keys.split(", "):
             assert not re.match(r"text#", key), (key, plan)
+
+
+def test_mapside_method_agrees_with_relational(spark, splits):
+    """method='pandas' (the measured 100 TB production path — zero
+    shuffles, broadcast dense weights) must reproduce the exact decimal
+    path: margins equal to float tolerance, clf_keep identical on the
+    fixture (no fixture margin sits within float noise of 0), every doc
+    present — including NULL/short-text edge docs."""
+    train, test = splits
+    w = C.nb_logodds_weights(train, n=3, n_buckets=B).localCheckpoint(
+        eager=True
+    )
+    edge = test.sparkSession.createDataFrame(
+        [(900001, None, 1), (900002, "ab", 0)],
+        "doc_id long, text string, label int",
+    )
+    docs = test.select("doc_id", "text", "label").union(edge)
+    dec = {
+        r["id"]: r
+        for r in C.classifier_score(docs, w, n=3, n_buckets=B).collect()
+    }
+    raw = {
+        r["id"]: r
+        for r in C.classifier_score(
+            docs, w, n=3, n_buckets=B, quantize=None
+        ).collect()
+    }
+    pan = {
+        r["id"]: r
+        for r in C.classifier_score(
+            docs, w, n=3, n_buckets=B, method="pandas"
+        ).collect()
+    }
+    assert set(dec) == set(pan) == set(raw) and len(dec) == docs.count()
+    for i, p in pan.items():
+        # raw-double relational path: same arithmetic, differs only by
+        # float-add order
+        assert float(p["margin"]) == pytest.approx(
+            float(raw[i]["margin"]), abs=1e-9, rel=1e-9
+        ), i
+        # decimal gated path: weights rounded to 1e-6 first, so margins
+        # differ by <= 0.5e-6 per gram occurrence — but the KEEP decision
+        # must agree on the fixture
+        assert p["clf_keep"] == dec[i]["clf_keep"], i
+
+
+def test_mapside_method_plan_is_shuffle_free(spark, splits):
+    """The pandas path is a pure map over the scan: no Exchange at all
+    in the scored plan (the whole point of the method)."""
+    import io
+    import contextlib
+
+    train, _ = splits
+    w = C.nb_logodds_weights(train, n=3, n_buckets=B).localCheckpoint(
+        eager=True
+    )
+    scored = C.classifier_score(train, w, n=3, n_buckets=B, method="pandas")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_classifier_score_rejects_unknown_method(spark):
+    d = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 1.0)], "bucket int, w double")
+    with pytest.raises(ValueError, match="unknown method"):
+        C.classifier_score(d, w, method="rdd")

@@ -237,3 +237,37 @@ def test_no_text_column_keys_a_shuffle(spark, corpus):
                 key,
                 plan,
             )
+
+
+def test_v2_stages_keep_the_text_shuffle_bound(spark, corpus):
+    """The round-7 opt-in stages must not add text-keyed shuffles: the
+    blocklist probe moves (id, suffix) rows and the C4 stage is a pure
+    map-side projection, so the post-checkpoint plan's hashpartitioning
+    keys stay ids / digests / strata with both stages enabled."""
+    with_urls = corpus.withColumn(
+        "url", F.concat(F.lit("https://ok.example.net/"), F.col("doc_id"))
+    )
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, _ = curation_run(
+        with_urls,
+        bc,
+        strata=("source",),
+        k_per_stratum=5,
+        blocklist=["ads.example.com"],
+        c4_lines=True,
+        c4_min_words=1,
+        c4_min_lines_kept=1,
+        c4_min_chars=1,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curated.explain("formatted")
+    plan = buf.getvalue()
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for keys in exchanges:
+        for key in keys.split(", "):
+            assert not re.match(r"(text|pii_text|clean_text|url)#", key), (
+                key,
+                plan,
+            )
