@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from .dedup import _h60_sql
 
-__all__ = ["stratified_sample", "pack_sequences", "token_count_sql"]
+__all__ = [
+    "stratified_sample",
+    "pack_sequences",
+    "token_count_sql",
+    "source_mix",
+    "hash_split",
+]
 
 
 # U+4E00..U+9FFF (CJK Unified Ideographs) with LITERAL endpoint characters:
@@ -218,4 +224,200 @@ def pack_sequences(
         F.expr(f"(__off + __wcum - n_tokens) div {budget}").alias("shard_first"),
         F.expr(f"(__off + __wcum - 1) div {budget}").alias("shard_last"),
         ((cum - F.col("n_tokens")) % F.lit(budget)).alias("offset_in_shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (the "data recipe" stage)
+# ---------------------------------------------------------------------------
+
+# Exact power-of-two weight scale: multiplying a double by 2^20 only shifts
+# the exponent (never rounds), so floor(sqrt(n) * _W_SCALE) is bit-identical
+# on every IEEE-754 engine — sqrt is correctly rounded by spec (Java
+# Math.sqrt, C libm sqrt, DuckDB), unlike pow().
+_W_SCALE = 1 << 20
+
+# dyadic alpha -> how many/which correctly-rounded sqrt factors compose it
+_DYADIC_ALPHAS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def _weight_sql(n: str, alpha: float) -> str:
+    """bigint temperature weight ``floor(n^alpha * 2^20)`` for dyadic alpha.
+
+    Every step is IEEE-deterministic: int->double conversion (round to
+    nearest), sqrt (correctly rounded by the standard), one optional
+    multiply of two correctly-rounded doubles (one correctly-rounded op),
+    exponent-shift by 2^20 (exact), floor (exact), cast of an integral
+    double (exact). No pow(), no float SUM — the two cross-engine hazards
+    the oracle doctrine (plans/oracles.py) bans from decision paths.
+    """
+    if alpha == 0.0:
+        return str(_W_SCALE)
+    if alpha == 1.0:
+        return f"({n} * {_W_SCALE})"
+    d = f"cast({n} as double)"
+    if alpha == 0.5:
+        w = f"sqrt({d})"
+    elif alpha == 0.25:
+        w = f"sqrt(sqrt({d}))"
+    elif alpha == 0.75:
+        w = f"(sqrt({d}) * sqrt(sqrt({d})))"
+    else:
+        raise ValueError(
+            f"alpha must be one of {_DYADIC_ALPHAS} for the deterministic "
+            f"path (got {alpha!r}); arbitrary exponents need pow(), whose "
+            "last-ulp rounding is engine-specific"
+        )
+    return f"cast(floor({w} * {_W_SCALE}) as bigint)"
+
+
+def source_mix(
+    docs: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted source mixing — the corpus "data recipe" stage.
+
+    Every public LLM corpus re-weights its sources instead of sampling
+    proportionally: GPT-3 samples curated sources far above their byte
+    share (Brown et al. 2020 table 2.2), The Pile assigns per-source
+    epochs (Gao et al. 2020), and mT5/CCNet draw languages with
+    ``p_s ∝ n_s^alpha`` (temperature sampling, Xue et al. 2021 §3.1;
+    Wenzek et al. 2020). This operator is the ``n_s^alpha`` form: given a
+    token/doc ``budget``, source ``s`` with ``n_s`` docs is sampled at
+
+        p_s = min(1, budget * w_s / (sum_w * n_s)),   w_s = n_s^alpha
+
+    so alpha=1 is proportional sampling, alpha=0 is uniform-over-sources,
+    and 0<alpha<1 flattens the mix toward rare sources. Expected kept
+    docs = budget when nothing clamps (clamped heads shift mass to the
+    unclamped tail only in expectation terms — documented, not
+    redistributed; re-run with a larger budget if exactness matters).
+
+    The keep decision is fully deterministic and partitioning/retry
+    independent: ``h60(seed || '|' || id) < floor(p_s * 2^60)`` — a pure
+    bigint compare against a threshold whose arithmetic is bit-identical
+    across engines (see ``_weight_sql``; the rate expression is a fixed
+    operation-order double chain over *integer* aggregates, so there is no
+    float-sum-ordering hazard anywhere). Re-running the recipe on the same
+    corpus reproduces the same sample; changing ``seed`` draws an
+    independent one.
+
+    Scale shape: the per-source count is the only shuffle, and it moves
+    one slim ``source`` column with map-side partial aggregation; the
+    rate table (|sources| rows) broadcasts back, so the document side —
+    text included — crosses ZERO shuffles (plan-asserted in
+    tests/test_plan_quality.py). NULL sources form their own group
+    (null-safe join), matching the ppl_buckets doctrine.
+
+    Returns the input columns plus ``mix_n`` (source size), ``mix_rate``
+    (the double p_s, for audit), and ``sampled``. Filter ``sampled`` for
+    the recipe output; keeping both halves makes the decision auditable
+    and lets the gate hash-check dropped docs too.
+
+    Beyond the reference (its pipeline has no corpus-level mixing stage);
+    public basis cited above.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if alpha not in _DYADIC_ALPHAS:
+        _weight_sql("n", alpha)  # raises with the full message
+    counts = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = _weight_sql("__n", alpha)
+    weighted = counts.withColumn("__w", F.expr(w))
+    total = weighted.agg(F.sum("__w").alias("__sum_w"))  # bigint: order-free
+    # fixed-op-order double chain, mirrored verbatim in the DuckDB oracle
+    rate = (
+        f"least(cast(1.0 as double), (cast({budget} as double) * "
+        f"cast(__w as double)) / (cast(__sum_w as double) * "
+        f"cast(__n as double)))"
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn("__p", F.expr(rate))
+        .withColumn(
+            "__thr",
+            F.expr(f"cast(floor(__p * cast({1 << 60} as double)) as bigint)"),
+        )
+        .select("__src", "__n", "__p", "__thr")
+    )
+    h = _h60_sql(f"concat('{seed}', '|', cast({id_col} as string))")
+    return (
+        docs.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__src")),
+            "left",
+        )
+        .drop("__src")
+        .select(
+            *docs.columns,
+            F.col("__n").alias("mix_n"),
+            F.col("__p").alias("mix_rate"),
+            (F.expr(h) < F.col("__thr")).alias("sampled"),
+        )
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, int]] = (
+        ("train", 98),
+        ("valid", 1),
+        ("test", 1),
+    ),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by content hash.
+
+    ``randomSplit`` (and any RNG split) assigns by partition-local draw:
+    the same document lands in different splits across runs, partitionings,
+    and corpus versions — eval-set leakage waiting to happen when the
+    corpus is re-filtered and re-split. The hash split is a pure function
+    of (id, salt, weights): ``bucket = h60(salt || '|' || id) mod
+    total_weight``, assigned to the label whose cumulative weight range
+    contains the bucket. Properties a training pipeline needs, each
+    test-asserted:
+
+    - stable: adding or removing OTHER documents never moves a doc's
+      assignment (subset-invariance) — the valid/test sets stay fixed as
+      the corpus grows;
+    - partitioning/retry independent (content hash, no RNG stream);
+    - exhaustive and disjoint: exactly one label per doc;
+    - proportions converge to weights/total (h60 is uniform);
+    - ``salt`` keys the experiment: a different salt draws an independent
+      split without touching the data.
+
+    Pure integer arithmetic end-to-end and a pure map — no shuffle, no
+    float, trivially cross-engine (gated with a DuckDB oracle). This is
+    the split-by-hash practice of large-corpus tooling (e.g. TFDS
+    subsplits by deterministic hashing); beyond the reference.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    labels = [l for l, _ in weights]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate split labels")
+    if any(w <= 0 for _, w in weights):
+        raise ValueError("weights must be positive integers")
+    total = sum(w for _, w in weights)
+    if len(weights) == 1:
+        return docs.withColumn("split", F.lit(labels[0]))
+    h = _h60_sql(f"concat('{salt}', '|', cast({id_col} as string))")
+    # the hash is computed ONCE into a bucket column, then dropped — the
+    # CASE arms compare a bigint, not re-derive md5 per arm
+    arms, cum = [], 0
+    for label, wt in weights[:-1]:
+        cum += wt
+        arms.append(f"when __bucket < {cum} then '{label}'")
+    expr = f"case {' '.join(arms)} else '{labels[-1]}' end"
+    return (
+        docs.withColumn("__bucket", F.expr(f"pmod({h}, {total})"))
+        .withColumn("split", F.expr(expr))
+        .drop("__bucket")
     )

@@ -1773,6 +1773,52 @@ def q_quality_classifier(spark, sf_dir):
 QUERIES["quality_classifier"] = q_quality_classifier
 
 
+def q_source_mix(spark, sf_dir):
+    """Temperature-weighted source mixing (operators/sampling.source_mix):
+    the GPT-3/Pile/mT5 "data recipe" stage — p_s = min(1, budget * n_s^0.5
+    / (sum_w * n_s)) with a deterministic h60 keep decision. The fixture's
+    source column is uniform, so the query derives a SKEWED source from
+    doc_id (one 400-doc head, three ~32-doc rares — both engines derive
+    the same) to exercise the flattening + the p=1 clamp on both sides of
+    the temperature. Weight arithmetic is the dyadic-sqrt integer-domain
+    form (bit-identical across engines; no pow, no float sum)."""
+    from ..operators.sampling import source_mix
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "mix_source",
+        F.expr("concat('s', cast(least(doc_id % 16, 3) as string))"),
+    )
+    out = source_mix(
+        d, budget=200, alpha=0.5, source_col="mix_source", id_col="doc_id"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "mix_source",
+        F.col("mix_n").cast("bigint"),
+        F.round("mix_rate", 9).alias("mix_rate"),
+        "sampled",
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment by content hash
+    (operators/sampling.hash_split): bucket = h60('split|' || id) mod 100
+    against cumulative 90/5/5 bounds — pure integer arithmetic, stable
+    under corpus growth (a doc's split never moves when other docs are
+    added/removed; the anti-leakage property randomSplit lacks)."""
+    from ..operators.sampling import hash_split
+
+    out = hash_split(
+        load(spark, sf_dir, "documents"),
+        weights=(("train", 90), ("valid", 5), ("test", 5)),
+    )
+    return out.select(F.col("doc_id").cast("bigint"), "split")
+
+
+QUERIES["source_mix"] = q_source_mix
+QUERIES["hash_split"] = q_hash_split
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1902,7 +1948,26 @@ QUERIES["quality_classifier"] = q_quality_classifier
 #                             pair via max_est_jaccard on the cross-split
 #                             pair subset; per-pair est values on the full
 #                             surface stay verified in the local replica)
+# round-7 late demotions (admitting source_mix and hash_split):
+#   vocab_topk             -> ngram_lm_train_pruned (the identical
+#                             explode-tokens -> hash-agg count kernel, on
+#                             the strictly richer n-gram-context key with
+#                             the min_count prune on top) + ann_topk_lsh /
+#                             ivf_topk (the same rank-over-window top-k
+#                             selection); per-token counts/ranks stay
+#                             verified in the local replica
+#   quality_percentiles    -> ppl_buckets (the distribution-cutoff
+#                             primitive in its scale-correct form:
+#                             integer-exact tertile cutoffs over a bigint
+#                             histogram instead of interpolated
+#                             percentile() over raw rows) + quality_keep_
+#                             full (gates the composite score the
+#                             percentiles are taken over); the R-7
+#                             interpolation twin stays verified in the
+#                             local replica
 _GATE_TAIL = [
+    "vocab_topk",
+    "quality_percentiles",
     "curation_total",
     "dedup_minhash_pairs",
     "ngram_perplexity",

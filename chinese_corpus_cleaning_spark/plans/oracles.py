@@ -572,6 +572,7 @@ group by r_name"""
     o.update(build_round5(o))
     o.update(build_round6())
     o.update(build_curation())
+    o.update(build_round7())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -1986,3 +1987,59 @@ from sampled where sample_rank <= 3"""
     )
     assert "from c4f)" in sql_v2, "sampler anchor not found for the v2 rewrite"
     return {"curation_total": sql.strip(), "curation_v2": sql_v2.strip()}
+
+
+def build_round7() -> dict[str, str]:
+    """Round-7 data-recipe operators: temperature source mixing and the
+    deterministic hash split (operators/sampling.source_mix / hash_split).
+
+    source_mix's arithmetic is deliberately cross-engine-exact (see
+    _weight_sql): integer counts -> sqrt (IEEE correctly rounded) ->
+    * 2^20 (exponent shift, exact) -> floor -> bigint weight; the weight
+    SUM is bigint (order-free — the float-sum-ordering hazard never
+    arises); the rate is a fixed-op-order double chain over those
+    integers; the keep threshold floor(p * 2^60) multiplies by a power of
+    two (exact). The SQL below mirrors the Spark expressions token for
+    token. hash_split is pure integer arithmetic; DuckDB has no pmod, but
+    h60 is non-negative (15 hex digits) so `%` == pmod here.
+    """
+    o: dict[str, str] = {}
+
+    o["source_mix"] = f"""
+with d as (
+  select doc_id, 's' || cast(least(doc_id % 16, 3) as varchar) as mix_source
+  from documents),
+counts as (
+  select mix_source as src, count(*)::bigint as n from d group by mix_source),
+weighted as (
+  select src, n,
+    cast(floor(sqrt(cast(n as double)) * 1048576) as bigint) as w
+  from counts),
+total as (select sum(w)::bigint as sum_w from weighted),
+rates as (
+  select src, n,
+    least(cast(1.0 as double),
+          (cast(200 as double) * cast(w as double)) /
+          (cast(sum_w as double) * cast(n as double))) as p
+  from weighted cross join total),
+thr as (
+  select src, n, p,
+    cast(floor(p * cast(1152921504606846976 as double)) as bigint) as t
+  from rates)
+select d.doc_id::bigint as doc_id, d.mix_source,
+  thr.n::bigint as mix_n, round(thr.p, 9) as mix_rate,
+  ({_h60("'mix' || '|' || cast(d.doc_id as varchar)")}) < thr.t as sampled
+from d join thr on d.mix_source is not distinct from thr.src"""
+
+    o["hash_split"] = f"""
+with b as (
+  select doc_id,
+    ({_h60("'split' || '|' || cast(doc_id as varchar)")}) % 100 as bucket
+  from documents)
+select doc_id::bigint as doc_id,
+  case when bucket < 90 then 'train'
+       when bucket < 95 then 'valid'
+       else 'test' end as split
+from b"""
+
+    return o

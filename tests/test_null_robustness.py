@@ -266,3 +266,27 @@ def test_fold_into_index_survives_nulls_and_empty(spark, nullish):
     l2, idx2 = dedup.fold_into_index(empty, index.localCheckpoint(eager=True), cfg)
     assert l2.count() == 0
     assert idx2.count() == index.count()
+
+
+def test_data_recipe_ops_survive_nulls_and_empty(spark, nullish):
+    """source_mix / hash_split over null texts, null sources, and empty
+    tables: nulls form their own mix group, every row gets exactly one
+    split label, and empty inputs flow through (sum(w) over zero rows is
+    NULL -> no rate rows -> no sampled rows, not a crash)."""
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        hash_split,
+        source_mix,
+    )
+
+    d = nullish.withColumn(
+        "source", F.expr("case when doc_id = 4 then null else 'a' end")
+    )
+    mixed = source_mix(d, budget=2)
+    assert mixed.count() == 4
+    assert mixed.where("mix_rate is null or mix_n is null").count() == 0
+    split = hash_split(d)
+    assert split.where("split is null").count() == 0
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert source_mix(empty, budget=10).count() == 0
+    assert hash_split(empty).count() == 0
