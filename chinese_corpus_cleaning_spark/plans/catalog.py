@@ -1819,6 +1819,51 @@ QUERIES["source_mix"] = q_source_mix
 QUERIES["hash_split"] = q_hash_split
 
 
+# Domain-quality decoration: five synthesized hosts with engineered bad
+# rates plus the parser edge cases. %11==3 malformed (NULL host, never
+# flagged); %5==3 UPPERCASE scheme/host + trailing FQDN dot + :8443 port
+# (must normalize to s3.example.cn and aggregate/join under it); %5==4 a
+# distinct rare<doc_id> host per doc (below min_docs even when bad);
+# %5 in {0,1,2} plain hosts s0/s1/s2.
+_DQ_DECOR = (
+    "case when doc_id % 11 = 3 then 'not a url ' || cast(doc_id as string) "
+    "when doc_id % 5 = 3 then 'HTTPS://S3.Example.CN.:8443/p/' || cast(doc_id as string) "
+    "when doc_id % 5 = 4 then 'https://rare' || cast(doc_id as string) || '.example.cn/q' "
+    "else 'https://s' || cast(doc_id % 5 as string) || '.example.cn/r/' || cast(doc_id as string) end"
+)
+# bad rates by host: s0/s1/s3 100 % (flagged), s2 ~14 % (doc_id%7 only,
+# stays under the 50 % bar), rare* 100 % but n=1 < min_docs.
+_DQ_BAD = "doc_id % 7 = 0 or doc_id % 5 <= 1 or doc_id % 5 = 3"
+
+
+def q_domain_quality(spark, sf_dir):
+    """Domain-level quality filter (operators/textanalysis.
+    domain_quality_filter): flag WHOLE hosts whose bad-doc fraction
+    strictly exceeds max_bad_pct with at least min_docs docs — the
+    RefinedWeb/FineWeb content-farm cut. Pure-integer decision
+    (n_bad*100 > n*pct on bigint counts; no float ratio to diverge
+    between engines). Decoration per _DQ_DECOR: s0/s1 flagged plain,
+    s3 flagged THROUGH host normalization (uppercase + trailing dot +
+    port), s2 under the bar, rare hosts under min_docs, malformed URLs
+    NULL-host and never flagged."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DQ_DECOR).alias("url")
+    )
+    out = textanalysis.domain_quality_filter(
+        docs, bad_expr=_DQ_BAD, min_docs=5, max_bad_pct=50
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "host",
+        F.col("domain_n").cast("bigint"),
+        F.col("domain_bad").cast("bigint"),
+        "domain_flagged",
+    )
+
+
+QUERIES["domain_quality"] = q_domain_quality
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1965,7 +2010,17 @@ QUERIES["hash_split"] = q_hash_split
 #                             percentiles are taken over); the R-7
 #                             interpolation twin stays verified in the
 #                             local replica
+# round-7 late demotion (admitting domain_quality into the window):
+#   events_salted_totals   -> crawl_frontier_dedup (the identical
+#                             content-salted (key, salt) partial + merge
+#                             two-phase rollup kernel — the same shape the
+#                             host_rollup demotion already leaned on; the
+#                             frontier query runs it behind URL canon +
+#                             dedup, the events family keeps sessionize +
+#                             json_props driver rows); per-user totals
+#                             stay verified in the local replica
 _GATE_TAIL = [
+    "events_salted_totals",
     "vocab_topk",
     "quality_percentiles",
     "curation_total",

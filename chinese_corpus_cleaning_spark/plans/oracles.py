@@ -2042,4 +2042,29 @@ select doc_id::bigint as doc_id,
        else 'test' end as split
 from b"""
 
+    # domain-level quality filter: host via the url_blocklist oracle's
+    # expression (regex class stops at ':' to drop the port, nullif ''
+    # mirrors try_parse_url's NULL on malformed, trailing FQDN dots
+    # stripped AFTER lower); the flag decision is bigint-only
+    # (n_bad*100 > n*50) so no float ratio can diverge; the left join on
+    # host drops NULL hosts from flagging exactly like the Spark side's
+    # equi-join (NULL == NULL is not a match in either engine).
+    from .catalog import _DQ_BAD, _DQ_DECOR
+
+    o["domain_quality"] = f"""
+with d as (select doc_id, {_DQ_DECOR} as url from documents),
+u as (
+  select doc_id, regexp_replace(nullif(lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), ''), '\\.+$', '') as host
+  from d),
+f as (
+  select host, count(*)::bigint as n,
+         count_if({_DQ_BAD})::bigint as n_bad
+  from u where host is not null group by host),
+fl as (select * from f where n >= 5 and n_bad * 100 > n * 50)
+select u.doc_id::bigint as doc_id, u.host,
+       fl.n::bigint as domain_n, fl.n_bad::bigint as domain_bad,
+       (fl.n is not null) as domain_flagged
+from u left join fl using (host)"""
+
     return o

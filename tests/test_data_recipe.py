@@ -181,3 +181,51 @@ def test_hash_split_is_pure_map(docs):
         hash_split(docs).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan  # no shuffle anywhere
+
+
+def test_export_path_composes(spark):
+    """The full export tail of a training-data pipeline: temperature
+    source mixing -> hash split -> sequence packing of the train split.
+    Deterministic end-to-end (re-running the whole chain reproduces the
+    identical shard layout), and the packing sees exactly the
+    sampled-train subset."""
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from chinese_corpus_cleaning_spark.sources import gen
+
+    docs = gen.docs_df(spark, 240, partitions=8).select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
+        "text",
+        F.expr(
+            "concat('s', cast(least(cast(split(url, '/')[4] as long) % 12, 2) as string))"
+        ).alias("source"),
+    )
+    mixed = source_mix(docs, budget=120, alpha=0.5)
+    recipe = hash_split(mixed.where("sampled"), weights=(("train", 90), ("valid", 10)))
+    train = recipe.where("split = 'train'")
+    n_train = train.count()
+    assert 0 < n_train < 240
+
+    packed = pack_sequences(train, budget=256, n_buckets=8)
+    assert packed.count() == n_train
+    # contiguous token stream: max cum_tokens == sum of n_tokens
+    agg = packed.agg(
+        F.max("cum_tokens").alias("mx"), F.sum("n_tokens").alias("sm")
+    ).collect()[0]
+    assert agg.mx == agg.sm
+
+    # end-to-end determinism across a re-run on a different partitioning
+    packed2 = pack_sequences(
+        hash_split(
+            source_mix(docs.repartition(3), budget=120, alpha=0.5).where(
+                "sampled"
+            ),
+            weights=(("train", 90), ("valid", 10)),
+        ).where("split = 'train'"),
+        budget=256,
+        n_buckets=8,
+    )
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, packed2.collect()))
+    assert a == b

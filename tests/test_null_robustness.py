@@ -290,3 +290,30 @@ def test_data_recipe_ops_survive_nulls_and_empty(spark, nullish):
     empty = spark.createDataFrame([], "doc_id long, text string, source string")
     assert source_mix(empty, budget=10).count() == 0
     assert hash_split(empty).count() == 0
+
+
+def test_domain_quality_survives_nulls_and_empty(spark):
+    """domain_quality_filter over NULL urls, NULL bad signals, and empty
+    tables: NULL hosts never aggregate or flag, a NULL bad_expr counts as
+    not-bad (count_if skips NULL), empty input flows through."""
+    from chinese_corpus_cleaning_spark.operators.textanalysis import (
+        domain_quality_filter,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None, True), (2, "https://h.cn/a", None), (3, "https://h.cn/b", True)],
+        "doc_id long, url string, is_bad boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in domain_quality_filter(
+            d, bad_expr="is_bad", min_docs=1, max_bad_pct=40
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["host"] is None and not out[1]["domain_flagged"]
+    # h.cn: n=2, bad=1 (the NULL signal is not bad) -> 100 > 80 flags
+    assert out[2]["domain_flagged"] and out[2]["domain_bad"] == 1
+
+    empty = spark.createDataFrame([], "doc_id long, url string, is_bad boolean")
+    assert domain_quality_filter(empty, bad_expr="is_bad").count() == 0
