@@ -1,9 +1,9 @@
 """The curation mega-pipeline: every stage a 100 TB training-data run needs,
 composed as ONE Spark plan —
 
-    [URL blocklist ->] quality/scrub/PII -> near-dup dedup
-        -> corpus boilerplate removal [-> C4 line cleanup]
-        -> deterministic stratified sample
+    [URL blocklist ->] quality/scrub/PII [-> domain-quality screen]
+        -> near-dup dedup -> corpus boilerplate removal
+        [-> C4 line cleanup] -> deterministic stratified sample
 
 (bracketed stages are the round-7 opt-ins; a perplexity-bucket stratum
 composes by passing ppl_buckets' label column in ``strata``)
@@ -45,6 +45,7 @@ from ..operators.quality import with_pii, with_quality
 from ..operators.sampling import stratified_sample
 from ..operators.textanalysis import (
     c4_line_filter,
+    domain_quality_filter,
     remove_boilerplate,
     url_blocklist_filter,
 )
@@ -69,6 +70,9 @@ def curation_run(
     c4_min_words: int = 3,
     c4_min_lines_kept: int = 3,
     c4_min_chars: int | None = None,
+    domain_screen: bool = False,
+    domain_min_docs: int = 5,
+    domain_max_bad_pct: int = 50,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Returns (curated, observations). ``curated`` has columns
     (id, clean_text, n_lines_removed, *strata, sample_rank); run ONE action
@@ -97,7 +101,18 @@ def curation_run(
       ``n_lines_removed``.
     * a perplexity stratum needs no knob: strata columns pass through
       every stage, so label docs with operators/perplexity.ppl_buckets
-      first and name its ``ppl_bucket`` column in ``strata``."""
+      first and name its ``ppl_bucket`` column in ``strata``.
+    * ``domain_screen`` (+ ``domain_min_docs`` / ``domain_max_bad_pct``,
+      needs ``url_col``) — stage 1.5, host-level quality escalation
+      (domain_quality_filter): hosts whose quality-fail fraction strictly
+      exceeds the bar lose ALL their docs, including the individually-
+      passing ones (the content-farm cut). The scored frame is
+      localCheckpointed first — the host aggregate and the keep filter
+      each scan it, and without the checkpoint the Arrow quality UDF
+      would run twice (CLAUDE.md loop-state doctrine); the aggregate
+      itself ships only slim (host, keep) columns after pruning and the
+      flagged-host set broadcasts back, so the text-shuffle audit
+      (exactly 2) is unchanged."""
     dedup_cfg = dedup_cfg or DedupConfig()
     obs = {
         "input": Observation("curation_input"),
@@ -120,12 +135,37 @@ def curation_run(
 
     # ---- stage 1: quality + DFA scrub + PII mask (one Arrow pass + native
     # projections, map-side; with_quality preserves passthrough columns)
+    stage1_cols = (
+        [id_col, url_col, text_col] if domain_screen else [id_col, text_col]
+    )
     scored = with_quality(
-        work.select(id_col, text_col, *strata),
+        work.select(*stage1_cols, *strata),
         trie_broadcast,
         cfg,
         text_col=text_col,
     )
+
+    # ---- stage 1.5 (opt-in): domain-level quality escalation — flag hosts
+    # whose quality-fail fraction exceeds the bar and drop ALL their docs.
+    # Checkpoint first: the host aggregate and the keep filter both scan
+    # scored, and each rescan would re-run the Arrow quality UDF.
+    if domain_screen:
+        scored = scored.localCheckpoint(eager=True)
+        obs["domain_kept"] = Observation("curation_domain_kept")
+        scored = (
+            domain_quality_filter(
+                scored,
+                bad_expr="not keep",
+                url_col=url_col,
+                id_col=id_col,
+                min_docs=domain_min_docs,
+                max_bad_pct=domain_max_bad_pct,
+            )
+            .where(~F.col("domain_flagged"))
+            .drop("host", "domain_n", "domain_bad", "domain_flagged", url_col)
+            .observe(obs["domain_kept"], F.count(F.lit(1)).alias("n"))
+        )
+
     kept = (
         with_pii(scored.where(F.col("keep")), "scrubbed_text")
         .select(id_col, text_col, "pii_text", "n_phone", "n_id_number", *strata)

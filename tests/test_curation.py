@@ -218,6 +218,46 @@ def test_v2_c4_folds_line_counts(spark):
         assert "页脚行" not in r["clean_text"]
 
 
+def test_domain_screen_composes(spark, corpus):
+    """Opt-in stage 1.5: a host whose quality-fail fraction exceeds the
+    bar loses ALL its docs — including the individually-passing one —
+    while hosts below the bar keep theirs; the junk docs on the clean
+    host still fall to the per-doc keep filter."""
+    # farm.example.cn carries both spam docs (40, 41 — keep=false) plus
+    # ONE good doc (25): 2/3 bad > 50 % -> whole host dropped. Everything
+    # else, including the empty-text error doc 42, sits on the clean host.
+    with_urls = corpus.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id").isin(40, 41, 25),
+            F.concat(F.lit("https://farm.example.cn/x/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("https://ok.example.net/y/"), F.col("doc_id"))
+        ),
+    )
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, obs = curation_run(
+        with_urls,
+        bc,
+        strata=("source",),
+        k_per_stratum=30,
+        domain_screen=True,
+        domain_min_docs=3,
+        domain_max_bad_pct=50,
+    )
+    rows = curated.collect()
+    assert obs["input"].get["n"] == 37
+    # 3 farm-host docs cut at the domain stage (the good doc 25 included)
+    assert obs["domain_kept"].get["n"] == 34
+    # per-doc keep then drops the remaining junk (42 empty-error); 41/40
+    # are already gone with their host
+    assert obs["kept"].get["n"] == 33
+    assert obs["unique"].get["n"] == 29  # 3 near-dups + 1 exact dup out
+    ids = {r["doc_id"] for r in rows}
+    assert 25 not in ids
+    assert ids == set(range(30)) - {25}
+
+
 def test_no_text_column_keys_a_shuffle(spark, corpus):
     """Post-checkpoint plan (boilerplate + sampler + final join): every
     hashpartitioning key is an id / digest / stratum — never a text body.
@@ -241,9 +281,11 @@ def test_no_text_column_keys_a_shuffle(spark, corpus):
 
 def test_v2_stages_keep_the_text_shuffle_bound(spark, corpus):
     """The round-7 opt-in stages must not add text-keyed shuffles: the
-    blocklist probe moves (id, suffix) rows and the C4 stage is a pure
-    map-side projection, so the post-checkpoint plan's hashpartitioning
-    keys stay ids / digests / strata with both stages enabled."""
+    blocklist probe moves (id, suffix) rows, the domain screen aggregates
+    slim (host, keep) columns and broadcasts its flags back, and the C4
+    stage is a pure map-side projection — so the post-checkpoint plan's
+    hashpartitioning keys stay ids / digests / hosts / strata with all
+    three stages enabled."""
     with_urls = corpus.withColumn(
         "url", F.concat(F.lit("https://ok.example.net/"), F.col("doc_id"))
     )
@@ -258,6 +300,7 @@ def test_v2_stages_keep_the_text_shuffle_bound(spark, corpus):
         c4_min_words=1,
         c4_min_lines_kept=1,
         c4_min_chars=1,
+        domain_screen=True,
     )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
