@@ -143,6 +143,144 @@ def decontaminate_overlap(
     )
 
 
+def _mix64(x):
+    """splitmix64 finalizer over a numpy uint64 array — derives the second
+    bloom hash from the md5-h60 gram hash. Both the build and the probe run
+    this exact code, so the scheme only needs internal consistency."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(g, m: int, k: int):
+    """Double-hashing positions (Kirsch & Mitzenmacher 2006): idx_i =
+    (h1 + i*h2) mod m with h1 = the gram hash, h2 = splitmix64(h1) | 1.
+    Returns a (len(g), k) uint64 index array."""
+    import numpy as np
+
+    h1 = g.astype(np.uint64)
+    h2 = _mix64(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % np.uint64(m)
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    fpp: float = 1e-6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the ZERO-SHUFFLE scale path
+    of decontaminate_overlap. Same contract: (doc_id, n_overlap,
+    contaminated) for every corpus doc, flagging docs that share any token
+    n-gram with the benchmark. One-sided error: no false negatives ever
+    (every exact hit is a bloom hit — the superset property
+    tests/test_decontaminate_bloom.py pins); false positives bounded by
+    ``fpp`` per probed gram.
+
+    Why this shape at 100 TB: the exact operator explodes the CORPUS side
+    into (id, gram) rows, broadcast-joins, and re-aggregates per doc — the
+    join is map-side but the per-doc count still shuffles slim id rows,
+    and the broadcast is a JVM hashmap of every benchmark gram (~30+
+    bytes/gram). Here the benchmark's distinct gram hashes (the SMALL side
+    — eval sets are 10^4..10^6 docs) are folded into a bitmap of
+    ~1.44·log2(1/fpp) bits per gram (≈2.9 bytes at 1e-6), broadcast once,
+    and the corpus is probed in ONE Arrow pass: no explode of the huge
+    side, no join, no shuffle — the plan is a bare mapInPandas
+    (plan-asserted Exchange-free). The gram hash is byte-identical to the
+    exact operator's (md5-h60 of the space-joined token window), so the
+    two operators agree up to bloom false positives.
+
+    Build cost: the benchmark's distinct hashes collect to the driver via
+    Arrow (bounded by the benchmark size, the side that is small by
+    definition) and the bitmap broadcasts. Beyond the reference; public
+    basis: Bloom 1970, Kirsch & Mitzenmacher 2006 double hashing, the
+    standard decontamination guard (GPT-3 appendix C, Brown et al. 2020).
+    """
+    import numpy as np
+
+    if not 0 < fpp < 1:
+        raise ValueError("fpp must be in (0, 1)")
+    spark = docs.sparkSession
+
+    # ---- build: distinct benchmark gram hashes -> driver (Arrow) -> bitmap
+    gram = (
+        f"case when size(split({text_col}, ' ')) >= {n} then "
+        f"transform(sequence({n}, size(split({text_col}, ' '))), "
+        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
+        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
+        f"else cast(array() as array<bigint>) end"
+    )
+    bench_pdf = (
+        benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct().toPandas()
+    )
+    n_items = len(bench_pdf)
+    if n_items:
+        m = int(np.ceil(-n_items * np.log(fpp) / (np.log(2) ** 2)))
+        m = max(64, ((m + 63) // 64) * 64)  # whole uint64 words
+        k = max(1, round(m / n_items * np.log(2)))
+    else:
+        m, k = 64, 1  # empty benchmark: all-zero bitmap, nothing flags
+    bitmap = np.zeros(m // 64, dtype=np.uint64)
+    if n_items:
+        idx = _bloom_positions(bench_pdf["g"].to_numpy(), m, k).ravel()
+        np.bitwise_or.at(bitmap, idx >> np.uint64(6),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    bc = spark.sparkContext.broadcast((bitmap.tobytes(), m, k))
+
+    # ---- probe: one Arrow pass over (id, text); no join, no shuffle
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_overlap bigint, contaminated boolean"
+
+    def probe(batches):
+        import hashlib
+
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value[0], dtype=np.uint64)
+        m_, k_ = bc.value[1], bc.value[2]
+        for pdf in batches:
+            counts = []
+            for text in pdf[text_col]:
+                toks = text.split(" ") if isinstance(text, str) else []
+                grams = {
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                }
+                if not grams:
+                    counts.append(0)
+                    continue
+                # identical hash to the SQL gram expr: md5 hex, first 15
+                # nibbles, base-16 -> bigint
+                g = np.array(
+                    [
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in grams
+                    ],
+                    dtype=np.uint64,
+                )
+                pos = _bloom_positions(g, m_, k_)
+                hit = (
+                    (bits[pos >> np.uint64(6)] >> (pos & np.uint64(63)))
+                    & np.uint64(1)
+                ).all(axis=1)
+                counts.append(int(hit.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_overlap": pd.Series(counts, dtype="int64"),
+                    "contaminated": [c > 0 for c in counts],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(probe, out_schema)
+
+
 def vocab_topk(
     docs: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
