@@ -99,6 +99,58 @@ def main(cpus: int, n_docs: int) -> None:
         ).collect()
 
     timed("quality_classifier", _clf)
+
+    # round-7 scale-path stages: bloom decontamination (Exchange-free
+    # map-side probe — the shape that should scale ~linearly) and the
+    # domain-quality screen (slim (host, flag) agg + broadcast flag join).
+    # The decon corpus is synthesized token-y text (native exprs, same at
+    # every level) because the gen corpus is unsegmented Chinese with few
+    # whitespace 8-grams; the domain stage runs on the gen corpus's own
+    # skewed host pool.
+    tok_docs = (
+        spark.range(0, n_docs, 1, cpus * 4)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, 50),"
+                " j -> substring(md5(concat(cast(id as string), '_',"
+                " cast(j as string))), 1, 8)), ' ')"
+            ).alias("text"),
+        )
+        .cache()
+    )
+    tok_docs.count()
+
+    def _decon():
+        from chinese_corpus_cleaning_spark.operators.textanalysis import (
+            decontaminate_bloom,
+        )
+
+        decontaminate_bloom(
+            tok_docs, tok_docs.where("doc_id % 1000 = 0"), n=8, fpp=1e-6
+        ).agg(
+            F.count(F.lit(1)), F.sum(F.col("contaminated").cast("long"))
+        ).collect()
+
+    timed("decon_bloom", _decon)
+    tok_docs.unpersist()
+
+    def _domain():
+        from chinese_corpus_cleaning_spark.operators.textanalysis import (
+            domain_quality_filter,
+        )
+
+        d = docs.select(
+            "url",
+            F.col("doc_class").isin(*gen.QUALITY_GOOD_CLASSES).alias("good"),
+        )
+        domain_quality_filter(
+            d, bad_expr="not good", id_col="url", min_docs=5, max_bad_pct=50
+        ).agg(
+            F.count(F.lit(1)), F.sum(F.col("domain_flagged").cast("long"))
+        ).collect()
+
+    timed("domain_quality", _domain)
     spark.stop()
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "timings": timings}))
 

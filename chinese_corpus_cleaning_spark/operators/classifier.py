@@ -322,7 +322,10 @@ def classifier_score(
       (batch-local add order), so use it where bit-exactness across
       engines is not required; ``quantize`` is ignored. clf_keep can
       differ from the decimal path only for |margin| within float noise
-      of 0 (tests pin agreement on a fixture).
+      of 0 (tests pin agreement on a fixture). Stateless per row, so it
+      lifts to Structured Streaming unchanged — stream-static scoring
+      of an arriving crawl against frozen weights (batch==stream parity
+      pinned in tests/test_multimodal_streaming.py).
 
     Returns a SLIM labels frame (id, margin, clf_score, clf_keep) — the
     dedup_representatives contract: text never enters the operator's

@@ -310,3 +310,53 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from ccc_inc_dedup").collect()
     }
     assert got == expected
+
+
+def test_streaming_classifier_scores_match_batch(spark, tmp_path):
+    """Stream-static classifier scoring: the map-side pandas path scores
+    each row independently (weights broadcast once, zero stream-side
+    state), so it lifts to readStream unchanged — the streamed scores
+    must equal the batch scores exactly (per-doc float add order is
+    identical; no cross-row arithmetic exists to reorder)."""
+    from chinese_corpus_cleaning_spark.operators import classifier as C
+
+    in_dir = str(tmp_path / "clf_in")
+    chk = str(tmp_path / "clf_chk")
+    lab = gen.labeled_docs_df(spark, 300, partitions=4).localCheckpoint(
+        eager=True
+    )
+    w = C.nb_logodds_weights(lab, n=3, n_buckets=1 << 12).localCheckpoint(
+        eager=True
+    )
+    expected = {
+        (r["id"], round(r["margin"], 9), r["clf_keep"])
+        for r in C.classifier_score(
+            lab, w, n=3, n_buckets=1 << 12, method="pandas"
+        ).collect()
+    }
+    assert expected and any(k for _, _, k in expected)
+
+    lab.write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, label int, doc_class string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    scored = C.classifier_score(
+        stream, w, n=3, n_buckets=1 << 12, method="pandas"
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("ccc_clf_stream")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["id"], round(r["margin"], 9), r["clf_keep"])
+        for r in spark.sql("select * from ccc_clf_stream").collect()
+    }
+    assert got == expected
