@@ -263,6 +263,52 @@ def quantize_int8(
     )
 
 
+def seed_centroids(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seeds: the ``n_cells`` lowest-id vectors.
+    orderBy+limit => TakeOrderedAndProject (per-partition top-k + driver
+    merge of n_cells rows), NOT a global single-partition Window sort."""
+    return (
+        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+        .orderBy(F.col("cid").asc())
+        .limit(n_cells)
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared L2 (argmin, centroid-id
+    tie-break) against a broadcast ``(cid, c)`` centroid table. Returns
+    (id_col, cell). Map-side except the per-id argmin window, whose
+    partitions are exactly k rows each."""
+    from pyspark.sql.window import Window
+
+    dist = (
+        "aggregate(zip_with(v, c, (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), cast(0.0 as double),"
+        " (acc, d) -> acc + d)"
+    )
+    pairs = (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d2", F.expr(dist))
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cell"))
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_cells: int = 8,
@@ -274,35 +320,13 @@ def ivf_assign(
     centroid by squared L2 (argmin, centroid-id tie-break). Returns
     (vec_id, cell).
 
-    The scale path: centroids come from a proper sampled k-means in practice;
-    the assignment/search plumbing (broadcast centroid table, argmin select,
-    within-cell probe join) is identical and is what this operator
-    establishes — deterministically, so the DuckDB oracle can check it."""
-    from pyspark.sql.window import Window
-
-    # lowest-n_cells ids via orderBy+limit => TakeOrderedAndProject (per-
-    # partition top-k + driver merge of n_cells rows), NOT a global single-
-    # partition Window sort over every vector
-    cents = (
-        vectors.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
-        .orderBy(F.col("cid").asc())
-        .limit(n_cells)
-    )
-    dist = (
-        "aggregate(zip_with(v, c, (x, y) -> (cast(x as double) - cast(y as double))"
-        " * (cast(x as double) - cast(y as double))), cast(0.0 as double),"
-        " (acc, d) -> acc + d)"
-    )
-    pairs = (
-        vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d2", F.expr(dist))
-    )
-    w2 = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
-    return (
-        pairs.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cid").alias("cell"))
+    The scale path: centroids come from a proper sampled k-means in practice
+    (``kmeans_fit``); the assignment/search plumbing (broadcast centroid
+    table, argmin select, within-cell probe join) is identical and is what
+    this operator establishes — deterministically, so the DuckDB oracle can
+    check it."""
+    return assign_cells(
+        vectors, seed_centroids(vectors, n_cells, id_col, vec_col), id_col, vec_col
     )
 
 
@@ -334,4 +358,127 @@ def ivf_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("qid").alias("vec_id"), "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column; returns the
+    trained ``(cid, c)`` centroid table (k rows, ready for
+    ``assign_cells``/``semdedup``). Deterministic: seeds are the k
+    lowest-id vectors (``seed_centroids``), assignment ties break on
+    centroid id, and an emptied cell keeps its previous centroid — so the
+    result is a pure function of the input SET (no RNG, retry/partition
+    independent up to float partial-sum order in avg; differential-tested
+    against a driver-side numpy Lloyd with the same rules).
+
+    Scale shape: the input is localCheckpointed ONCE (CLAUDE.md iterative-
+    loop doctrine — without it every iteration re-executes the upstream
+    lineage); each iteration is one broadcast crossJoin + argmin (map-side,
+    k-row windows) and ONE shuffle whose reduce side is at most k*dim
+    partial-mean rows (posexplode + groupBy(cell, dim) with map-side
+    combine); the k*dim means come to the driver (tiny) and go back out as
+    the next broadcast literal. Nothing vector-sized ever keys a shuffle.
+    """
+    src = vectors.select(
+        F.col(id_col).alias("__kid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    ).localCheckpoint(eager=True)
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["c"]])
+        for r in seed_centroids(src, k, "__kid", "__v").collect()
+    ]
+    spark = vectors.sparkSession
+    for _ in range(max(0, int(iters))):
+        cdf = spark.createDataFrame(cents, "cid bigint, c array<double>")
+        assigned = assign_cells(src, cdf, "__kid", "__v").join(src, "__kid")
+        # per-cell element-wise mean: one slim (cell, dim) shuffle
+        means = (
+            assigned.select("cell", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("cell", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(__d, __m))),"
+                    " s -> s.__m)"
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [float(x) for x in r["c"]] for r in means}
+        cents = [(cid, new.get(cid, c)) for cid, c in cents]
+    return spark.createDataFrame(cents, "cid bigint, c array<double>")
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus, then inside each
+    cluster drop every item whose cosine similarity to an EARLIER item
+    (lower id — deterministic stand-in for the paper's keep-one rule)
+    reaches ``tau``. The reference's own similarity matrix
+    (/root/reference/utils/embed.py:58-82) is the driver-bound O(n^2)
+    form of the same idea; clustering bounds the pair space to
+    sum-of-cell-sizes squared.
+
+    Returns (id_col, cell, max_prior_cos, semdedup_keep): the max cosine
+    to any earlier same-cell item (NULL when the item is its cell's
+    first) and the keep verdict ``max_prior_cos IS NULL OR < tau``.
+
+    Gate form (``centroids=None``): deterministic lowest-id seeds
+    (``ivf_assign``) so the DuckDB oracle can recompute the cells; the
+    cosine fold is the proven index-ordered ``_dot`` so the float is
+    bit-identical across engines. Production form: pass
+    ``centroids=kmeans_fit(vectors, k, iters)`` with k sized so cells hold
+    ~1-10k items (the paper grows k with n); the within-cell self-join is
+    then n*cell_size work on slim (id, vector) rows, hot cells split by
+    AQE skew handling, and the max-per-id aggregate is partial (map-side
+    combine) so no cell's pair list ever materializes in one task."""
+    cells = (
+        ivf_assign(vectors, n_cells, id_col, vec_col)
+        if centroids is None
+        else assign_cells(vectors, centroids, id_col, vec_col)
+    )
+    v = vectors.join(cells, id_col)
+    left = with_norm(v, vec_col).select(
+        F.col(id_col).alias("__qid"),
+        "cell",
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    right = with_norm(v, vec_col).select(
+        F.col(id_col).alias("__pid"),
+        "cell",
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    prior = (
+        left.join(right, "cell")
+        .where(F.col("__pid") < F.col("__qid"))
+        .withColumn(
+            "__cos", F.expr(_dot("_va", "_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .groupBy("__qid")
+        .agg(F.max("__cos").alias("max_prior_cos"))
+    )
+    return cells.join(prior, cells[id_col] == prior["__qid"], "left").select(
+        id_col,
+        "cell",
+        "max_prior_cos",
+        (
+            F.col("max_prior_cos").isNull()
+            | (F.col("max_prior_cos") < F.lit(float(tau)))
+        ).alias("semdedup_keep"),
     )

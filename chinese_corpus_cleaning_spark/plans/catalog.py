@@ -1864,6 +1864,28 @@ def q_domain_quality(spark, sf_dir):
 QUERIES["domain_quality"] = q_domain_quality
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning (operators/similarity.semdedup — Abbas
+    et al. 2023): cluster by embedding, drop items whose cosine to an
+    EARLIER same-cell item reaches tau. Gate form: deterministic
+    lowest-id-seed cells (the gated ivf machinery) and tau=0.3 — the
+    synthetic embeddings are near-orthogonal (max pairwise cos ~0.49,
+    median max-prior ~0.28), so 0.3 exercises keep=true, keep=false AND
+    the NULL first-of-cell arm; near-1.0 duplicate planting is covered
+    in tests/test_semdedup.py, the kmeans_fit production path there
+    too."""
+    out = _sim.semdedup(load(spark, sf_dir, "embeddings"), n_cells=8, tau=0.3)
+    return out.select(
+        F.col("vec_id").cast("bigint"),
+        F.col("cell").cast("bigint"),
+        F.round("max_prior_cos", 6).alias("max_prior_cos"),
+        "semdedup_keep",
+    )
+
+
+QUERIES["semdedup"] = q_semdedup
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -2019,7 +2041,19 @@ QUERIES["domain_quality"] = q_domain_quality
 #                             dedup, the events family keeps sessionize +
 #                             json_props driver rows); per-user totals
 #                             stay verified in the local replica
+# round-7 late demotion (admitting semdedup into the window):
+#   part_supplier_revenue  -> the second of two TPC-H relational-breadth
+#                             demos in the window; its kernels each stay
+#                             gated elsewhere: scan+filter+hash-agg via
+#                             lineitem_pricing_summary (same decimal
+#                             sum-of-products pricing arithmetic, same
+#                             table), multi-table equi-join + agg via
+#                             ivf_topk / crawl_frontier_dedup /
+#                             incremental_dedup (the corpus joins the
+#                             engine is actually for); per-row revenue
+#                             values stay verified in the local replica
 _GATE_TAIL = [
+    "part_supplier_revenue",
     "events_salted_totals",
     "vocab_topk",
     "quality_percentiles",

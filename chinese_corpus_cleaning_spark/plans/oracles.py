@@ -573,6 +573,7 @@ group by r_name"""
     o.update(build_round6())
     o.update(build_curation())
     o.update(build_round7())
+    o.update(build_round7_late())
     return {k: v.strip() for k, v in o.items()}
 
 
@@ -1413,8 +1414,9 @@ group by l_returnflag, l_linestatus""".strip()
     }
 
 
-def build_ivf() -> dict[str, str]:
-    cells_cte = """
+# shared by build_ivf and build_round7_late (semdedup reuses the
+# deterministic lowest-id-seed cell assignment verbatim)
+_IVF_CELLS_CTE = """
 v as (select vec_id, list_transform(embedding, x -> x::double) as e from embeddings),
 cents as (select vec_id as cid, e as c from v order by vec_id limit 8),
 dists as (
@@ -1425,6 +1427,10 @@ cells as (
   select vec_id, cid as cell from (
     select *, row_number() over (partition by vec_id order by d2 asc, cid asc) as rn
     from dists) where rn = 1)"""
+
+
+def build_ivf() -> dict[str, str]:
+    cells_cte = _IVF_CELLS_CTE
     o = {}
     o["ivf_cells"] = f"""
 with {cells_cte}
@@ -2066,5 +2072,38 @@ select u.doc_id::bigint as doc_id, u.host,
        fl.n::bigint as domain_n, fl.n_bad::bigint as domain_bad,
        (fl.n is not null) as domain_flagged
 from u left join fl using (host)"""
+
+    return o
+
+
+def build_round7_late() -> dict[str, str]:
+    """Round-7 late operators: SemDeDup semantic pruning.
+
+    semdedup reuses the gated ivf cell CTE verbatim (lowest-id seeds,
+    L2 argmin, cid tie-break); the cosine is the proven index-ordered
+    fold (list_sum of list_transform == Spark's aggregate(zip_with)
+    left-to-right adds — bit-identical doubles, established by the
+    ivf_topk rank hash match), so max() picks the same element and the
+    `< tau` keep verdict cannot flip between engines. tau=0.3 because
+    the synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.49, median max-prior ~0.28): 0.3 exercises BOTH keep outcomes
+    plus the NULL first-of-cell arm; real near-dup planting (scaled
+    copies, cos ~1.0) is covered in tests/test_semdedup.py."""
+    o: dict[str, str] = {}
+
+    o["semdedup"] = f"""
+with {_IVF_CELLS_CTE},
+n as (select v.vec_id, cells.cell, e, sqrt(list_sum(list_transform(e, x -> x * x))) as nrm
+      from v join cells on v.vec_id = cells.vec_id),
+pr as (
+  select a.vec_id as vec_id,
+    max(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)) as mpc
+  from n a join n b using (cell) where b.vec_id < a.vec_id
+  group by a.vec_id),
+j as (select cells.vec_id, cells.cell, pr.mpc from cells left join pr using (vec_id))
+select vec_id::bigint as vec_id, cell::bigint as cell,
+       round(mpc, 6) as max_prior_cos,
+       (mpc is null or mpc < 0.3) as semdedup_keep
+from j"""
 
     return o
