@@ -1076,3 +1076,103 @@ def domain_quality_filter(
         .drop("__fhost")
         .withColumn("domain_flagged", F.col("domain_n").isNotNull())
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+    broadcast_drops: bool | None = None,
+) -> DataFrame:
+    """Corpus-wide exact paragraph deduplication: every paragraph that
+    appears more than once in the corpus keeps only its FIRST occurrence
+    (MassiveText, Rae et al. 2021 §A1.2; Dolma, Soldaini et al. 2024 —
+    the standard companion to document-level dedup: it kills the
+    boilerplate fragments document dedup can't see). The reference's own
+    dedup is per-file line-level (clear_redundancy.py:172-190);
+    remove_boilerplate generalizes that to frequency, this operator to
+    global first-occurrence.
+
+    "First" is deterministic, partition/retry independent: the corpus
+    order is (h60(id), id, paragraph index) — the repo's proven
+    pseudo-random total order (operators/sampling doctrine), NOT an
+    ingestion order that would change under repartitioning. Paragraph
+    equality is md5-h60 equality (collision odds 2^-60; the md5 kernel is
+    the engine-wide cross-dialect primitive).
+
+    Scale shape — document text NEVER keys a shuffle:
+      * the dedup decision runs on slim (hash, ord, id, idx) rows;
+      * the winner per hash is min(struct(ord, id, idx)) — a PARTIAL
+        aggregate, so a paragraph duplicated 100M times arrives at the
+        reduce side as <= n_map_partitions pre-combined rows (a window
+        over the hash would instead sort the entire hot key in one task);
+      * drops join back on hash (AQE skew-splittable), collapse to one
+        (id, drop-index-list) row per affected doc, and rejoin the doc
+        table on id — broadcast when ``broadcast_drops`` (right when few
+        docs carry corpus-duplicated paragraphs), plain equi-join under
+        AQE when None (the safe default at 100 TB, where boilerplate
+        touches most docs);
+      * the rebuild is map-side: split the original text again and drop
+        the flagged indices with a native filter lambda.
+
+    ``sep`` is used as a regex by split and a literal by the rejoin —
+    pass a regex-free literal (default newline). Paragraphs shorter than
+    ``min_chars`` never enter dedup (min_chars=1 keeps blank-line
+    structure intact). NULL text passes through as NULL with zero counts.
+
+    Returns the doc frame with ``text_col`` rewritten plus ``n_paras``
+    (paragraphs before dedup) and ``n_dropped``.
+    """
+    from .dedup import _h60_sql
+
+    sep_lit = F.lit(sep)
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    slim = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.expr(_h60_sql(f"cast({id_col} as string)")).alias("__ord"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("__idx", "__p"),
+        )
+        .where(F.length("__p") >= int(min_chars))
+        .select(
+            "__id",
+            "__ord",
+            "__idx",
+            F.expr(_h60_sql("__p")).alias("__ph"),
+        )
+    )
+    winners = slim.groupBy("__ph").agg(
+        F.min(F.struct("__ord", "__id", "__idx")).alias("__w")
+    )
+    drops = (
+        slim.join(winners, "__ph")
+        .where(F.struct("__ord", "__id", "__idx") != F.col("__w"))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.sort_array(F.collect_list("__idx")).alias("__drop"))
+    )
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    kept = F.filter(
+        arr,
+        lambda p, i: F.col("__drop").isNull()
+        | ~F.array_contains(F.col("__drop"), i),
+    )
+    passthrough = [c for c in docs.columns if c != text_col]
+    return (
+        docs.join(drops, id_col, "left")
+        .select(
+            *passthrough,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(kept, sep))
+            .alias(text_col),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(arr))
+            .cast("int")
+            .alias("n_paras"),
+            F.coalesce(F.size("__drop"), F.lit(0)).cast("int").alias("n_dropped"),
+        )
+    )

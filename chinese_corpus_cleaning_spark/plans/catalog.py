@@ -1886,6 +1886,42 @@ def q_semdedup(spark, sf_dir):
 QUERIES["semdedup"] = q_semdedup
 
 
+# paragraph_dedup decoration: a promo block shared by every doc_id % 7
+# cohort (~1/7 of the corpus each — only the h60-first occurrence
+# survives), a newsletter line in every third doc, and a per-doc unique
+# tail that must never be dropped. Shared verbatim with the DuckDB oracle.
+_PARA_DECOR = (
+    "text || chr(10) || 'shared promo block ' || cast(doc_id % 7 as string)"
+    " || chr(10) || case when doc_id % 3 = 0 then"
+    " 'subscribe to our newsletter today' else 'unique tail ' ||"
+    " cast(doc_id as string) end"
+)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (operators/textanalysis.
+    paragraph_dedup — MassiveText §A1.2 / Dolma): every paragraph keeps
+    only its first occurrence in (h60(id), id, idx) corpus order. The
+    decoration (_PARA_DECOR) plants cross-doc duplicate paragraphs at two
+    frequencies plus an undroppable unique tail; the generated corpus's
+    own duplicate families add naturally-colliding base paragraphs on
+    top. Text bodies never key a shuffle (slim hash rows decide, a
+    map-side filter rebuilds)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PARA_DECOR).alias("text")
+    )
+    out = textanalysis.paragraph_dedup(d)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "text",
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+    )
+
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -2041,6 +2077,14 @@ QUERIES["semdedup"] = q_semdedup
 #                             dedup, the events family keeps sessionize +
 #                             json_props driver rows); per-user totals
 #                             stay verified in the local replica
+# round-7 late demotion (admitting paragraph_dedup into the window):
+#   events_json_props      -> the events relational-breadth family keeps
+#                             sessionize (the stateful window kernel) in
+#                             the window; json_props is a stateless
+#                             per-row get_json_object scalar mapping
+#                             (§2.10 scalar-function breadth, no join/agg/
+#                             window of its own) whose per-row extracted
+#                             values stay verified in the local replica
 # round-7 late demotion (admitting semdedup into the window):
 #   part_supplier_revenue  -> the second of two TPC-H relational-breadth
 #                             demos in the window; its kernels each stay
@@ -2053,6 +2097,7 @@ QUERIES["semdedup"] = q_semdedup
 #                             engine is actually for); per-row revenue
 #                             values stay verified in the local replica
 _GATE_TAIL = [
+    "events_json_props",
     "part_supplier_revenue",
     "events_salted_totals",
     "vocab_topk",

@@ -2106,4 +2106,40 @@ select vec_id::bigint as vec_id, cell::bigint as cell,
        (mpc is null or mpc < 0.3) as semdedup_keep
 from j"""
 
+    # corpus-wide exact paragraph dedup: first occurrence in
+    # (h60(doc_id), doc_id, idx) order wins. idx is 0-based to match
+    # posexplode; paragraph equality is the shared md5-h60; empty
+    # paragraphs (length < 1) never enter dedup so blank-line structure
+    # survives; the rebuild string_agg(para order by idx) with chr(10) is
+    # the byte twin of Spark's array_join(filter(...)). Decoration
+    # imported from catalog._PARA_DECOR (cast(x as string) is a DuckDB
+    # VARCHAR alias — same text both engines).
+    from .catalog import _PARA_DECOR
+
+    o["paragraph_dedup"] = f"""
+with d as (select doc_id, {_PARA_DECOR} as text from documents),
+base as (select doc_id,
+  ('0x'||substr(md5(cast(doc_id as varchar)),1,15))::bigint as ord,
+  string_split(coalesce(text,''), chr(10)) as parts from d),
+px as (select doc_id, ord, unnest(list_transform(generate_series(1, len(parts)),
+        i -> struct_pack(idx := i - 1, para := parts[i]))) as s from base),
+p as (select doc_id, ord, s.idx as idx, s.para as para from px),
+e as (select *, ('0x'||substr(md5(para),1,15))::bigint as ph
+      from p where length(para) >= 1),
+r as (select e.*, row_number() over (partition by ph order by ord, doc_id, idx) as rn from e),
+drops as (select doc_id, idx from r where rn > 1),
+reb as (
+  select p.doc_id,
+    coalesce(string_agg(p.para, chr(10) order by p.idx)
+             filter (where drops.idx is null), '') as new_text,
+    count(*) as n_paras,
+    count(drops.idx) as n_dropped
+  from p left join drops on drops.doc_id = p.doc_id and drops.idx = p.idx
+  group by p.doc_id)
+select d.doc_id::bigint as doc_id,
+  case when d.text is null then null else reb.new_text end as text,
+  (case when d.text is null then 0 else reb.n_paras end)::bigint as n_paras,
+  reb.n_dropped::bigint as n_dropped
+from d join reb on reb.doc_id = d.doc_id"""
+
     return o
