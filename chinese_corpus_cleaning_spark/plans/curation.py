@@ -3,7 +3,8 @@ composed as ONE Spark plan —
 
     [URL blocklist ->] quality/scrub/PII [-> domain-quality screen]
         -> near-dup dedup -> corpus boilerplate removal
-        [-> C4 line cleanup] -> deterministic stratified sample
+        [-> paragraph dedup] [-> C4 line cleanup]
+        -> deterministic stratified sample
 
 (bracketed stages are the round-7 opt-ins; a perplexity-bucket stratum
 composes by passing ppl_buckets' label column in ``strata``)
@@ -46,6 +47,7 @@ from ..operators.sampling import stratified_sample
 from ..operators.textanalysis import (
     c4_line_filter,
     domain_quality_filter,
+    paragraph_dedup,
     remove_boilerplate,
     url_blocklist_filter,
 )
@@ -73,6 +75,9 @@ def curation_run(
     domain_screen: bool = False,
     domain_min_docs: int = 5,
     domain_max_bad_pct: int = 50,
+    para_dedup: bool = False,
+    para_min_chars: int = 1,
+    para_broadcast_drops: bool | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Returns (curated, observations). ``curated`` has columns
     (id, clean_text, n_lines_removed, *strata, sample_rank); run ONE action
@@ -98,6 +103,12 @@ def curation_run(
       boilerplate removal and sampling: pure map-side projection (no
       shuffle); pages failing C4's page flags (poison markers /
       too-few-kept-lines) are dropped, and removed lines fold into
+      ``n_lines_removed``.
+    * ``para_dedup`` (+ ``para_min_chars`` / ``para_broadcast_drops``) —
+      stage 3.25, corpus-wide exact paragraph dedup on the cleaned text
+      (operators/textanalysis.paragraph_dedup): the long tail of
+      exactly-repeated paragraphs below the boilerplate frequency bar
+      keeps only its h60-first occurrence; dropped paragraphs fold into
       ``n_lines_removed``.
     * a perplexity stratum needs no knob: strata columns pass through
       every stage, so label docs with operators/perplexity.ppl_buckets
@@ -203,6 +214,34 @@ def curation_run(
         min_doc_frac=boilerplate_min_doc_frac,
         keep_cols=strata,
     )
+
+    # ---- stage 3.25 (opt-in): corpus-wide exact paragraph dedup on the
+    # cleaned text (MassiveText A1.2) — frequency-based boilerplate removal
+    # (stage 3) killed the >= min_doc_frac fragments; this stage kills the
+    # LONG TAIL of exactly-repeated paragraphs below that bar, keeping each
+    # one's h60-first occurrence. The dedup decision moves slim hash rows
+    # only; the drop-list join back onto the docs is AQE's choice by
+    # default (para_broadcast_drops=None) — when it broadcasts, text stays
+    # map-side and the audited text-shuffle bound is unchanged at 2; when
+    # the affected-doc set is too large to broadcast the join adds text
+    # shuffle #3 (the plan test asserts <= 3 with this stage on). Dropped
+    # paragraphs fold into n_lines_removed.
+    if para_dedup:
+        pdd = paragraph_dedup(
+            cleaned,
+            id_col=id_col,
+            text_col="clean_text",
+            min_chars=para_min_chars,
+            broadcast_drops=para_broadcast_drops,
+        )
+        cleaned = pdd.select(
+            F.col(id_col),
+            F.col("clean_text"),
+            (F.col("n_lines_removed") + F.col("n_dropped")).alias(
+                "n_lines_removed"
+            ),
+            *strata,
+        )
 
     # ---- stage 3.5 (opt-in): C4 line-level cleanup on the cleaned text —
     # map-side only; page poison flags drop whole docs, dropped lines fold

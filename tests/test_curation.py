@@ -314,3 +314,83 @@ def test_v2_stages_keep_the_text_shuffle_bound(spark, corpus):
                 key,
                 plan,
             )
+
+
+def test_para_dedup_stage_composes(spark, corpus):
+    """Stage 3.25: a paragraph shared by 2/37 docs sits far below the
+    boilerplate frequency bar (0.3) and survives stage 3 in both docs;
+    with para_dedup=True exactly the h60-first occurrence survives the
+    composed pipeline, the drop folds into n_lines_removed, and text
+    still never keys a shuffle."""
+    shared = "共享段落天地玄黄宇宙洪荒日月盈昃辰宿列张"
+    planted = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(7, 11),
+            F.concat(F.col("text"), F.lit("\n" + shared)),
+        ).otherwise(F.col("text")),
+    )
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, _ = curation_run(
+        planted,
+        bc,
+        strata=("source",),
+        k_per_stratum=50,  # keep every surviving doc so both 7 and 11 land
+        para_dedup=True,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curated.explain("formatted")
+    plan = buf.getvalue()
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        for key in keys.split(", "):
+            assert not re.match(r"(text|pii_text|clean_text)#", key), key
+    rows = curated.collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 7 in by_id and 11 in by_id
+    # the scrub lowercases but does not alter hanzi: the shared paragraph
+    # is byte-identical in both cleaned docs pre-dedup, so exactly one
+    # survives
+    n_shared = sum(r["clean_text"].count(shared) for r in rows)
+    assert n_shared == 1
+    keeper = 7 if shared in by_id[7]["clean_text"] else 11
+    dropper = {7: 11, 11: 7}[keeper]
+    # the dropped copy is accounted in n_lines_removed (footer removal
+    # contributes equally to both docs, so compare against a doc with the
+    # same footer parity instead of absolutes)
+    assert by_id[dropper]["n_lines_removed"] >= 1
+    # the only other change vs the stage-off run is itself a correct
+    # paragraph dedup: PII masking rewrites every planted phone line to
+    # the IDENTICAL '<PHONE>' paragraph (6 docs — below the boilerplate
+    # bar), so the stage keeps exactly one of those too; every non-shared
+    # non-masked line is untouched
+    base, _ = curation_run(
+        planted, bc, strata=("source",), k_per_stratum=50
+    )
+    base_df = base.select("doc_id", "clean_text", "n_lines_removed").cache()
+    # composed(stage on) == paragraph_dedup applied post-hoc to the
+    # stage-off output (the downstream sampler keeps every doc at k=50 and
+    # ranks on (id, strata) only, so the stage commutes with it)
+    from chinese_corpus_cleaning_spark.operators.textanalysis import (
+        paragraph_dedup,
+    )
+
+    posthoc = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in paragraph_dedup(
+            base_df, id_col="doc_id", text_col="clean_text"
+        ).collect()
+    }
+    base_removed = {
+        r["doc_id"]: r["n_lines_removed"] for r in base_df.collect()
+    }
+    assert set(by_id) == set(posthoc)
+    for did, r in by_id.items():
+        assert r["clean_text"] == posthoc[did][0], did
+        assert (
+            r["n_lines_removed"] == base_removed[did] + posthoc[did][1]
+        ), did
+    # the 6 identical '<PHONE>' masked lines collapse to one corpus-wide
+    n_phone = sum(r["clean_text"].count("<PHONE>") for r in rows)
+    assert n_phone == 1
+    base_df.unpersist()
