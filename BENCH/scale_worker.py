@@ -151,6 +151,17 @@ def main(cpus: int, n_docs: int) -> None:
         ).collect()
 
     timed("domain_quality", _domain)
+
+    def _para():
+        from chinese_corpus_cleaning_spark.operators.textanalysis import (
+            paragraph_dedup,
+        )
+
+        paragraph_dedup(docs.select(F.col("url").alias("doc_id"), "text")).agg(
+            F.count(F.lit(1)), F.sum("n_dropped")
+        ).collect()
+
+    timed("paragraph_dedup", _para)
     spark.stop()
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "timings": timings}))
 

@@ -23,6 +23,11 @@ Stages:
                    generated corpus (explode -> agg over hashed char
                    3-grams), then the broadcast exact-decimal scorer over
                    the same corpus — train + score, both distributed
+  paragraph_dedup  corpus-wide exact paragraph dedup over the generated
+                   corpus (slim-hash winner agg + map-side rebuild)
+  semdedup         SemDeDup production path: kmeans_fit (k=16, 2 Lloyd
+                   iterations) + within-cell prior-cosine pruning over the
+                   embeddings table
   curation_total   the composed curation mega-pipeline (plans/curation.py):
                    quality/scrub/PII -> near-dup dedup -> corpus boilerplate
                    removal -> deterministic stratified sample as ONE plan
@@ -208,6 +213,25 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
         curated.agg(F.count(F.lit(1))).collect()
 
     timed("curation_total", _curation)
+
+    def _para():
+        from chinese_corpus_cleaning_spark.operators.textanalysis import (
+            paragraph_dedup,
+        )
+
+        paragraph_dedup(
+            gen_docs.select(F.col("url").alias("doc_id"), "text")
+        ).agg(F.count(F.lit(1)), F.sum("n_dropped")).collect()
+
+    timed("paragraph_dedup", _para)
+
+    def _semdedup():
+        cents = similarity.kmeans_fit(emb, k=16, iters=2)
+        similarity.semdedup(emb, tau=0.3, centroids=cents).agg(
+            F.count(F.lit(1)), F.sum(F.col("semdedup_keep").cast("long"))
+        ).collect()
+
+    timed("semdedup", _semdedup)
 
     timings["_n_docs"] = n_docs
     timings["_runs"] = all_runs
