@@ -1922,6 +1922,32 @@ def q_paragraph_dedup(spark, sf_dir):
 QUERIES["paragraph_dedup"] = q_paragraph_dedup
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/selection.dsir_select — Xie
+    et al. 2023): raw corpus = documents, target = the doc_id % 17 == 0
+    subset; hashed char-3-gram log-ratio weights (the gated NB log-odds
+    arithmetic with target/raw as the classes), exact-decimal per-doc
+    log-weights (the gated classifier margin), deterministic Gumbel
+    top-k=100 over (h60-derived uniform, fixed per-doc op order). The
+    oracle recomputes the full chain including the two-window-free rank
+    (its single row_number equals the Spark two-phase form because min-k
+    of a total order is associative)."""
+    from ..operators import selection
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where("doc_id % 17 = 0")
+    out = selection.dsir_select(docs, target, k=100, n=3, n_buckets=4096)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("logw").cast("decimal(38,6)").alias("logw"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+        F.col("sel_rank").cast("bigint").alias("sel_rank"),
+    )
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -2077,6 +2103,16 @@ QUERIES["paragraph_dedup"] = q_paragraph_dedup
 #                             dedup, the events family keeps sessionize +
 #                             json_props driver rows); per-user totals
 #                             stay verified in the local replica
+# round-7 late demotion (admitting dsir_select into the window):
+#   embedding_cluster_score -> its two kernels each stay gated: the exact
+#                             per-vector max-cosine (duplicate_ratio) is
+#                             semdedup's max_prior_cos arithmetic (same
+#                             _dot fold, same max agg — semdedup gates it
+#                             per cell over the SAME vectors) and
+#                             quality_keep_full_ann gates the banded
+#                             cluster-score case-expr composed into the
+#                             production composite; per-row banded scores
+#                             stay verified in the local replica
 # round-7 late demotion (admitting paragraph_dedup into the window):
 #   events_json_props      -> the events relational-breadth family keeps
 #                             sessionize (the stateful window kernel) in
@@ -2097,6 +2133,7 @@ QUERIES["paragraph_dedup"] = q_paragraph_dedup
 #                             engine is actually for); per-row revenue
 #                             values stay verified in the local replica
 _GATE_TAIL = [
+    "embedding_cluster_score",
     "events_json_props",
     "part_supplier_revenue",
     "events_salted_totals",

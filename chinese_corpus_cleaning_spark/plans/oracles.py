@@ -2142,4 +2142,61 @@ select d.doc_id::bigint as doc_id,
   reb.n_dropped::bigint as n_dropped
 from d join reb on reb.doc_id = d.doc_id"""
 
+    # DSIR importance resampling: the labeled-union / gram / bucket /
+    # log-ratio / decimal-margin CTEs are the quality_classifier oracle's
+    # chain with target(y=1) + raw(y=0) corpora as the classes (alpha=1,
+    # B=4096); the Gumbel uniform is (h60 % 2^53 + 0.5) / 2^53 — every
+    # residue exactly representable as a double, so the int->double
+    # conversion loses nothing and the ln/ln/add chain is the identical
+    # fixed op order on identical bits. One row_number over all 500 rows
+    # equals Spark's two-phase salt-bucket top-k (min-k of a total order
+    # is associative; ties impossible — (key, id) is total).
+    o["dsir_select"] = """
+with d0 as (select doc_id, coalesce(text, '') as t from documents),
+d as (
+  select 'r|' || cast(doc_id as varchar) as did, t, 0 as y from d0
+  union all
+  select 't|' || cast(doc_id as varchar) as did, t, 1 as y from d0
+  where doc_id % 17 = 0),
+g as (
+  select did, y, unnest(case when length(t) < 3 then [t]
+    else list_transform(generate_series(1, length(t) - 2),
+                        i -> substr(t, i, 3)) end) as gram
+  from d),
+f as (
+  select did, y,
+    (('0x' || substr(md5(gram), 1, 15))::bigint % 4096)::int as bucket,
+    count(*) as cnt
+  from g group by 1, 2, 3),
+per as (
+  select bucket,
+    sum(case when y = 1 then cnt else 0 end) as c1,
+    sum(case when y = 0 then cnt else 0 end) as c0
+  from f group by bucket),
+tot as (select sum(c1) as t1, sum(c0) as t0 from per),
+w as (
+  select bucket,
+    round(ln((c1 + 1.0) / (t1 + 4096.0))
+          - ln((c0 + 1.0) / (t0 + 4096.0)), 6)::decimal(18,6) as wq
+  from per cross join tot),
+m as (
+  select f.did, sum(f.cnt * w.wq) as logw
+  from f join w using (bucket) where f.y = 0 group by 1),
+s as (
+  select d0.doc_id, coalesce(m.logw, 0)::decimal(38,6) as logw
+  from d0 left join m on m.did = 'r|' || cast(d0.doc_id as varchar)),
+kx as (
+  select doc_id, logw,
+    logw::double + (-ln(-ln(
+      ((('0x' || substr(md5('dsir|' || cast(doc_id as varchar)), 1, 15))::bigint
+        % 9007199254740992)::double + 0.5) / 9007199254740992.0
+    ))) as gumbel_key
+  from s),
+r as (
+  select *, row_number() over (order by gumbel_key desc, doc_id asc) as sel_rank
+  from kx)
+select doc_id::bigint as doc_id, logw,
+       round(gumbel_key, 6) as gumbel_key, sel_rank::bigint as sel_rank
+from r where sel_rank <= 100"""
+
     return o
