@@ -1948,6 +1948,40 @@ def q_dsir_select(spark, sf_dir):
 QUERIES["dsir_select"] = q_dsir_select
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """One BPE merge iteration's statistics (operators/tokenizer.py —
+    Sennrich et al. 2016): whitespace-token vocabulary (explicit ASCII
+    class, the Java/RE2 \\s split rule) -> freq-weighted adjacent
+    symbol-pair counts -> top-25 by (cnt desc, left, right). The
+    iterative trainer (bpe_train) is not SQL-expressible (each argmax
+    feeds the next iteration's expression) and is differential-tested
+    against a driver-side reference BPE in tests/test_bpe.py; this gates
+    its per-iteration kernel end-to-end. Rank assignment runs on 25 rows
+    (orderBy+limit => TakeOrdered, then a bounded window)."""
+    from ..operators import tokenizer
+
+    v = tokenizer.bpe_vocab(load(spark, sf_dir, "documents"))
+    top = (
+        tokenizer.bpe_pair_counts(v)
+        .orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(25)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return top.select(
+        "left",
+        "right",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -2103,6 +2137,16 @@ QUERIES["dsir_select"] = q_dsir_select
 #                             dedup, the events family keeps sessionize +
 #                             json_props driver rows); per-user totals
 #                             stay verified in the local replica
+# round-7 late demotion (admitting bpe_pair_counts into the window):
+#   langid_stopwords       -> extract_is_zh gates the production language
+#                             decision (the reference's is_zh gate, J1/P5
+#                             — the one the pipeline actually consumes);
+#                             the stopword-profile argmax is the engine's
+#                             beyond-reference relational diagnostic whose
+#                             membership-count kernel (size(filter(toks,
+#                             in set))) also runs inside c4_line_filter's
+#                             gated filter lambdas; per-row predictions
+#                             stay verified in the local replica
 # round-7 late demotion (admitting dsir_select into the window):
 #   embedding_cluster_score -> its two kernels each stay gated: the exact
 #                             per-vector max-cosine (duplicate_ratio) is
@@ -2133,6 +2177,7 @@ QUERIES["dsir_select"] = q_dsir_select
 #                             engine is actually for); per-row revenue
 #                             values stay verified in the local replica
 _GATE_TAIL = [
+    "langid_stopwords",
     "embedding_cluster_score",
     "events_json_props",
     "part_supplier_revenue",

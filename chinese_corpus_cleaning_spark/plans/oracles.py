@@ -2199,4 +2199,24 @@ select doc_id::bigint as doc_id, logw,
        round(gumbel_key, 6) as gumbel_key, sel_rank::bigint as sel_rank
 from r where sel_rank <= 100"""
 
+    # BPE pair-count kernel: whitespace tokens (explicit ASCII class —
+    # Java/RE2 \s edge disagreement), single-codepoint symbols via substr
+    # (codepoint-indexed in both engines), freq-weighted adjacent pairs,
+    # top-25 with the trainer's tie-break.
+    o["bpe_pair_counts"] = """
+with toks as (
+  select unnest(string_split_regex(coalesce(text, ''), '[ \t\n\r]+')) as token
+  from documents),
+v as (select token, count(*) as freq from toks where token <> '' group by token),
+p as (
+  select u.s.l as "left", u.s.r as "right", sum(v.freq) as cnt
+  from v, unnest(case when length(token) < 2 then []
+    else list_transform(generate_series(1, length(token) - 1),
+      i -> struct_pack(l := substr(token, i, 1), r := substr(token, i + 1, 1)))
+    end) as u(s)
+  group by 1, 2),
+r as (select *, row_number() over (order by cnt desc, "left" asc, "right" asc) as rank from p)
+select "left", "right", cnt::bigint as cnt, rank::bigint as rank
+from r where rank <= 25"""
+
     return o

@@ -1,0 +1,130 @@
+"""Distributed BPE trainer (operators/tokenizer.py) — differential against
+a driver-side reference implementation of Sennrich et al. 2016 with
+identical rules: whitespace-token vocabulary, freq-weighted adjacent pair
+counts, argmax with (cnt desc, left asc, right asc) tie-break,
+left-to-right non-overlapping merge application.
+"""
+
+import re
+from collections import Counter
+
+import pytest
+
+from chinese_corpus_cleaning_spark.operators.tokenizer import (
+    bpe_apply_merge,
+    bpe_pair_counts,
+    bpe_train,
+    bpe_vocab,
+)
+
+
+def _ref_bpe(texts, n_merges, min_pair_freq=2):
+    vocab = Counter()
+    for t in texts:
+        for tok in re.split(r"[ \t\n\r]+", t or ""):
+            if tok:
+                vocab[tok] += 1
+    symbols = {tok: list(tok) for tok in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for tok, freq in vocab.items():
+            s = symbols[tok]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break
+        # argmax with (cnt desc, left asc, right asc)
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_freq:
+            break
+        merges.append((a, b, cnt))
+        for tok, s in symbols.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbols[tok] = out
+    return merges, symbols
+
+
+TEXTS = [
+    "low lower lowest low low newer newest new",
+    "low lower wider wide new wide wide",
+    "数据 数据库 数据流 数据 数据库 大数据",
+    "过拟合 拟合 拟合 过拟合",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    )
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    got = bpe_train(docs, n_merges=12, min_pair_freq=2)
+    want, _ = _ref_bpe(TEXTS, 12, min_pair_freq=2)
+    assert got == want
+    # the CJK corpus contributes hanzi merges (codepoint symbols, no
+    # segmenter needed)
+    assert any(not (a + b).isascii() for a, b, _ in got)
+
+
+def test_final_vocab_symbols_match_reference(spark, docs):
+    merges = bpe_train(docs, n_merges=8, min_pair_freq=2)
+    _, ref_symbols = _ref_bpe(TEXTS, 8, min_pair_freq=2)
+    v = bpe_vocab(docs)
+    for a, b, _ in merges:
+        v = bpe_apply_merge(v, a, b)
+    got = {r["token"]: list(r["symbols"]) for r in v.collect()}
+    assert got == ref_symbols
+
+
+def test_merge_is_left_to_right_non_overlapping(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa aa a baab")], "doc_id bigint, text string"
+    )
+    v = bpe_apply_merge(bpe_vocab(df), "a", "a")
+    got = {r["token"]: list(r["symbols"]) for r in v.collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aa"] == ["aa"]
+    assert got["a"] == ["a"]
+    assert got["baab"] == ["b", "aa", "b"]
+
+
+def test_symbols_with_metacharacters_are_safe(spark):
+    # the fold binds the pair as literal Columns — tokens full of regex/
+    # SQL metacharacters must merge correctly
+    df = spark.createDataFrame(
+        [(1, ".* .* .* '); ');")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, n_merges=3, min_pair_freq=2)
+    assert (".", "*", 3) == merges[0]
+
+
+def test_partitioning_invariance(spark, docs):
+    a = bpe_train(docs, n_merges=6)
+    b = bpe_train(docs.repartition(7), n_merges=6)
+    assert a == b
+
+
+def test_early_stop_on_rare_pairs(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id bigint, text string")
+    assert bpe_train(df, n_merges=10, min_pair_freq=2) == []
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   ")], "doc_id bigint, text string"
+    )
+    assert bpe_vocab(df).count() == 0
+    assert bpe_train(df, n_merges=3) == []
