@@ -235,3 +235,50 @@ def test_pack_sequences_no_global_sort(spark):
     plan = _explained(pack_sequences(d, budget=128, n_buckets=16))
     assert "rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semdedup_plan_is_cartesian_free(spark):
+    """semdedup's pair surface must be an equi-join on cell (shuffled hash /
+    sort-merge, AQE-splittable) — never a CartesianProduct. The only
+    nested-loop join allowed is the BROADCAST centroid crossJoin (k rows)."""
+    from chinese_corpus_cleaning_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _explained(semdedup(emb, n_cells=4, tau=0.5))
+    assert "CartesianProduct" not in plan, plan
+    # the prior-max is a partial aggregate: map-side combine before the
+    # shuffle (two HashAggregate nodes around the Exchange)
+    assert "HashAggregate" in plan
+
+
+def test_dsir_select_no_corpus_global_sort(spark):
+    """dsir_select must not range-partition (globally sort) the corpus:
+    the only total ordering runs on the <= n_salt*k survivor rows (a
+    bounded single-partition window). rangepartitioning in the plan would
+    mean the scale-path two-phase shape regressed."""
+    from chinese_corpus_cleaning_spark.operators.selection import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _explained(dsir_select(docs, docs.where("doc_id % 11 = 0"), k=20))
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_bpe_pair_counts_partially_aggregates(spark):
+    """The pair-count shuffle must carry partially-aggregated rows (map-side
+    combine), and the trainer's argmax must be TakeOrdered, not a global
+    sort."""
+    from chinese_corpus_cleaning_spark.operators.tokenizer import (
+        bpe_pair_counts,
+        bpe_vocab,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = bpe_pair_counts(bpe_vocab(docs))
+    plan = _explained(counts)
+    assert "HashAggregate" in plan and "Exchange" in plan
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
+    ).limit(1)
+    assert "TakeOrderedAndProject" in _explained(top)
