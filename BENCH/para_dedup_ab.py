@@ -4,15 +4,28 @@ production PARTIAL min-struct aggregate + join-back (map-side combine: a
 paragraph duplicated n_docs times reaches the reduce side as
 <= n_map_partitions pre-combined rows).
 
-The stress is a HOT paragraph: one footer in EVERY doc (n_docs-way
-duplicate) plus a 1000-way semi-hot tier and unique tails — the shape real
-boilerplate takes. The window variant must sort the full hot key in one
-task; the min-agg variant never materializes it.
+The stress is a HOT paragraph: a footer in EVERY doc (n_docs-way
+duplicate, `hot_mult` copies per doc — the skew lever that reaches
+100 TB-like hot-key magnitudes at bench scale) plus a 1000-way semi-hot
+tier and unique tails — the shape real boilerplate takes. The window
+variant must sort the full hot key (hot_mult * n_docs rows) in ONE task;
+the min-agg variant pre-combines it map-side (<= n_map_partitions rows
+reach the reduce side).
 
 Equality of both forms' outputs is asserted per cell (sum of
 crc32(text), sum n_dropped). Interleaved min-of-N in one JVM.
 
-Usage: python BENCH/para_dedup_ab.py [n_docs]   (default 400000)
+MEASURED CONCLUSION (local[8], BENCH/para_dedup_ab_runs.jsonl; full
+table + reading in BENCH/BASELINE.md "Paragraph-dedup design A/B"):
+min-agg speedup grows monotonically with hot-key size — 0.46x at 0.4M
+hot rows, 0.75x at 1.6M, 0.97x at 25.6M, 1.74x at 25.6M with tails 4x
+lighter (the hot-key-dominated regime). The window form's wall is a
+straight-line extrapolation of one task sorting the hot key; min-agg's
+reduce side stays <= n_map_partitions rows regardless of duplication —
+hence the production default, same small-scale-cost-for-scale-shape
+trade as the round-6 band-join broadcast probe.
+
+Usage: python BENCH/para_dedup_ab.py [n_docs] [hot_mult]   (default 400000 1)
 Appends JSON lines to BENCH/para_dedup_ab_runs.jsonl.
 Run with NOTHING else on the machine (CLAUDE.md contamination rule).
 """
@@ -71,7 +84,7 @@ def _window_variant(docs, id_col="doc_id", text_col="text"):
     )
 
 
-def main(n_docs: int) -> None:
+def main(n_docs: int, hot_mult: int = 1) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -104,7 +117,10 @@ def main(n_docs: int) -> None:
                     "array_join(transform(sequence(1, 10),"
                     " j -> md5(concat(cast(id as string), '_', j))), '\\n')"
                 ),
-                F.lit("HOT FOOTER all rights reserved"),
+                F.expr(
+                    f"array_join(transform(sequence(1, {hot_mult}),"
+                    " j -> 'HOT FOOTER all rights reserved'), '\\n')"
+                ),
                 F.expr("concat('SEMI_', id % 1000)"),
                 F.expr("concat('tail_', id)"),
             ).alias("text"),
@@ -127,7 +143,7 @@ def main(n_docs: int) -> None:
     def prod(d):
         return paragraph_dedup(d).select("doc_id", "text", "n_dropped")
 
-    cell: dict = {"n_docs": n_docs}
+    cell: dict = {"n_docs": n_docs, "hot_mult": hot_mult}
     for name, variant in (("window", _window_variant), ("minagg", prod)):
         walls, sig = [], None
         for _ in range(3):
@@ -146,4 +162,7 @@ def main(n_docs: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400_000)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 400_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 1,
+    )
