@@ -128,3 +128,120 @@ def test_empty_and_null_text(spark):
     )
     assert bpe_vocab(df).count() == 0
     assert bpe_train(df, n_merges=3) == []
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _ref_encode(word, merges):
+    """Sequential application of the merge table to one word — the
+    trainer's own per-step scan (bpe_apply_merge) composed in order."""
+    s = list(word)
+    for m in merges:
+        a, b = m[0], m[1]
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def test_encode_matches_reference_and_trained_state(spark, docs):
+    from chinese_corpus_cleaning_spark.operators.tokenizer import bpe_encode
+
+    merges, symbols = _ref_bpe(TEXTS, 15, min_pair_freq=1)
+    # unseen words exercise generalization beyond the training vocabulary
+    extra = spark.createDataFrame(
+        [(100, "lowestest wideness 数据库存 newlow"), (101, "low 大数据流")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(
+            docs.union(extra), merges, emit_tokens=True
+        ).collect()
+    }
+    all_texts = dict(enumerate(TEXTS))
+    all_texts[100] = "lowestest wideness 数据库存 newlow"
+    all_texts[101] = "low 大数据流"
+    for did, text in all_texts.items():
+        expect = []
+        for tok in re.split(r"[ \t\n\r]+", text):
+            if tok:
+                expect.extend(_ref_encode(tok, merges))
+        assert out[did]["bpe_tokens"] == expect, did
+        assert out[did]["n_bpe_tokens"] == len(expect)
+    # training tokens round-trip to the trainer's final symbol state
+    for tok, sym in symbols.items():
+        assert _ref_encode(tok, merges) == sym
+
+
+def test_encode_is_sequential_not_rank_greedy(spark):
+    """Pins the documented semantics: merges apply in training order, so
+    a later merge's product can NEVER feed an earlier merge (rank-greedy
+    encoders disagree exactly here: greedy would merge 'ab' first, then
+    see ('ab','c') at lower rank and emit ['abc'])."""
+    from chinese_corpus_cleaning_spark.operators.tokenizer import (
+        _encode_word,
+    )
+
+    merges = [("ab", "c"), ("a", "b")]
+    ab_index = {"abc": (0,), "ab": (1,)}
+    assert _encode_word("abc", merges, ab_index, 3) == ["ab", "c"]
+
+
+def test_encode_null_empty_whitespace(spark):
+    from chinese_corpus_cleaning_spark.operators.tokenizer import bpe_encode
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, " \t\n ")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_encode(d, [("a", "b", 2)], emit_tokens=True).collect()
+    }
+    for i in (1, 2, 3):
+        assert rows[i]["n_bpe_tokens"] == 0
+        assert rows[i]["bpe_tokens"] == []
+
+
+def test_encode_plan_is_shuffle_free(spark, docs):
+    import io
+    from contextlib import redirect_stdout
+
+    from chinese_corpus_cleaning_spark.operators.tokenizer import bpe_encode
+
+    out = bpe_encode(docs, [("l", "o", 5), ("lo", "w", 4)])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_encode_feeds_pack_sequences(spark, docs):
+    from chinese_corpus_cleaning_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from chinese_corpus_cleaning_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    merges = bpe_train(docs, n_merges=8)
+    enc = bpe_encode(docs, merges)
+    packed = pack_sequences(
+        enc, budget=8, token_count_expr="n_bpe_tokens"
+    ).collect()
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in enc.collect()
+    }
+    assert {r["doc_id"] for r in packed} == set(counts)
+    for r in packed:
+        assert r["n_tokens"] == counts[r["doc_id"]]
