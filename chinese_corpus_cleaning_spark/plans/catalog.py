@@ -1982,6 +1982,78 @@ def q_bpe_pair_counts(spark, sf_dir):
 QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (operators/retrieval.py, Robertson & Zaragoza
+    2009; Lucene's positive-idf form): top-25 docs for a three-term query
+    over the corpus. The single-query zero-wide-shuffle path — per-term tf
+    and dl map-side from the token array, one-row corpus statistics
+    broadcast back, TakeOrdered top-k. Every per-term contribution is
+    quantized to decimal(18,6) before the fixed-order sum (the
+    classifier-margin doctrine), so score, the match filter, and the
+    (score desc, doc_id) rank are bit-identical cross-engine. The batch
+    path (bm25_topk_batch) is pinned bit-equal to this one in
+    tests/test_retrieval.py."""
+    from ..operators import retrieval
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = retrieval.bm25_topk(
+        d, ["spark", "customer", "vector"], k=25, k1=1.2, b=0.75
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("score").cast("decimal(18,6)").alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+QUERIES["bm25_topk"] = q_bm25_topk
+
+
+# Decorations for the unicode_normalize gate: one arm per normalization
+# axis (full-width fold / combining-mark composition), one arm untouched.
+# Spelled with escapes so the source stays editor-safe; the oracle embeds
+# the SAME constants (imported from here).
+_UNORM_WIDTH = (
+    " Ｗｉｄｔｈ：１２３！　ok"
+)  # " Ｗｉｄｔｈ：１２３！　ok"
+_UNORM_MARKS = " café dejà vu"  # combining acute/grave
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode canonicalization (functions/unicode_norm.py): full-width →
+    ASCII fold (native translate over the FF01–FF5E block + U+3000, the
+    NFKC mapping for that block) then NFC composition (Arrow pandas UDF —
+    Spark has no built-in normalizer). Decoration puts both axes on the
+    corpus: doc_id%3==0 appends full-width letters/digits/punct +
+    ideographic space (fold changes them, same char count), %3==1 appends
+    decomposed combining sequences (NFC composes them, char count drops),
+    else untouched (changed=false arm). The oracle recomputes natively as
+    nfc_normalize(translate(...)) — utf8proc NFC vs Python unicodedata
+    NFC pinned equal on real composition work."""
+    from ..functions import unicode_norm as _un
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_UNORM_WIDTH))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_UNORM_MARKS))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = _un.normalize_text(d)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "norm_text",
+        F.length("text").cast("bigint").alias("n_before"),
+        F.length("norm_text").cast("bigint").alias("n_after"),
+        (F.col("norm_text") != F.col("text")).alias("changed"),
+    )
+
+
+QUERIES["unicode_normalize"] = q_unicode_normalize
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -1993,7 +2065,10 @@ QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 #   minhash_signatures     -> dedup_minhash_pairs (consumes the signatures)
 #   lsh_band_keys          -> dedup_minhash_pairs (consumes the band keys)
 #   simhash                -> simhash_near_dup_pairs (consumes the signatures)
-#   ann_lsh_buckets        -> ann_topk_lsh (consumes the buckets)
+#   ann_lsh_buckets        -> ann_topk_lsh (consumes the buckets; since
+#                             ann_topk_lsh's own round-7 demotion, the
+#                             chain terminates in ivf_topk +
+#                             simhash_near_dup_pairs — see that entry)
 #   ivf_cells              -> ivf_topk (consumes the cells)
 #   ngram_lm_train         -> ngram_lm_train_pruned (+ ppl_buckets, which
 #                             consumes the trained counts via its scorer)
@@ -2165,6 +2240,28 @@ QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 #                             (§2.10 scalar-function breadth, no join/agg/
 #                             window of its own) whose per-row extracted
 #                             values stay verified in the local replica
+# round-7 late demotion (admitting unicode_normalize into the window):
+#   repetition_signals     -> quality_keep_full_gopher runs the SAME
+#                             operator (textanalysis.repetition_signals)
+#                             on the same corpus and gates its
+#                             dup_line/top_bigram/dup_trigram fractions
+#                             at the same 9-dp rounding, composed into
+#                             the production keep cut (the point of the
+#                             signals); the standalone query's decoration
+#                             arms, n_lines, and dup_line_char_frac stay
+#                             verified in the local replica
+# round-7 late demotion (admitting bm25_topk into the window):
+#   ann_topk_lsh           -> the second of two ANN top-k gates in the
+#                             window; its two kernels each stay gated:
+#                             the within-bucket exact-cosine + (cos desc,
+#                             id) rank via ivf_topk (same _dot fold, same
+#                             rank window, same vectors — only the
+#                             bucketing differs), and the random-
+#                             hyperplane sign-bit hashing via
+#                             simhash_near_dup_pairs (the same sign-bit
+#                             plane arithmetic over hashed-gram vectors);
+#                             per-row RP-LSH neighbors stay verified in
+#                             the local replica
 # round-7 late demotion (admitting semdedup into the window):
 #   part_supplier_revenue  -> the second of two TPC-H relational-breadth
 #                             demos in the window; its kernels each stay
@@ -2177,6 +2274,8 @@ QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
 #                             engine is actually for); per-row revenue
 #                             values stay verified in the local replica
 _GATE_TAIL = [
+    "repetition_signals",
+    "ann_topk_lsh",
     "langid_stopwords",
     "embedding_cluster_score",
     "events_json_props",

@@ -2219,4 +2219,75 @@ r as (select *, row_number() over (order by cnt desc, "left" asc, "right" asc) a
 select "left", "right", cnt::bigint as cnt, rank::bigint as rank
 from r where rank <= 25"""
 
+    # BM25 top-k: portable-whitespace lowercased tokens; N/avgdl/df over
+    # docs with >= 1 token; per-term contribution idf*(tf*2.2)/(tf + 1.2*
+    # (1 - 0.75 + 0.75*dl/avgdl)) with Spark's exact op order (2.2 and 1.2
+    # parse to the same doubles as the Python-side lit(k1+1.0)/lit(k1)),
+    # each rounded@6 -> decimal(18,6) and summed exactly; rank on
+    # (score desc, doc_id asc).
+    _bm25_tf = {
+        t: f"len(list_filter(toks, x -> x = '{t}'))::bigint"
+        for t in ("spark", "customer", "vector")
+    }
+    _bm25_contrib = "\n     + ".join(
+        f"round(ln((n::double - df_{t}::double + 0.5) / (df_{t}::double + 0.5)"
+        f" + 1.0) * (tf_{t}::double * 2.2) / (tf_{t}::double + 1.2 * (1.0 - "
+        f"0.75 + 0.75 * (dl::double / (total_dl::double / n::double)))), 6)"
+        f"::decimal(18,6)"
+        for t in ("spark", "customer", "vector")
+    )
+    o["bm25_topk"] = f"""
+with arr as (
+  select doc_id, list_filter(
+    string_split_regex(lower(text), '[ \t\n\r]+'), x -> x <> '') as toks
+  from documents where text is not null),
+slim as (
+  select doc_id, len(toks)::bigint as dl,
+         {_bm25_tf['spark']} as tf_spark,
+         {_bm25_tf['customer']} as tf_customer,
+         {_bm25_tf['vector']} as tf_vector
+  from arr),
+f as (select * from slim where dl > 0),
+s as (
+  select count(*)::bigint as n, sum(dl)::bigint as total_dl,
+         sum(case when tf_spark > 0 then 1 else 0 end)::bigint as df_spark,
+         sum(case when tf_customer > 0 then 1 else 0 end)::bigint as df_customer,
+         sum(case when tf_vector > 0 then 1 else 0 end)::bigint as df_vector
+  from f),
+sc as (
+  select doc_id,
+    ({_bm25_contrib})::decimal(18,6) as score
+  from f, s),
+m as (select * from sc where score > 0),
+r as (select doc_id, score,
+             row_number() over (order by score desc, doc_id asc) as rank
+      from m)
+select doc_id::bigint as doc_id, score, rank::bigint as rank
+from r where rank <= 25"""
+
+    # Unicode canonicalization: width fold == one translate over the
+    # FF01-FF5E block + U+3000 (constants imported from the Spark side so
+    # the mapping can never drift), then utf8proc NFC — pinned equal to
+    # Python unicodedata NFC by the decorated composition arms.
+    from ..functions.unicode_norm import FULLWIDTH_DST, FULLWIDTH_SRC
+    from .catalog import _UNORM_MARKS, _UNORM_WIDTH
+
+    _fw_dst = FULLWIDTH_DST.replace("'", "''")
+    o["unicode_normalize"] = f"""
+with d as (
+  select doc_id,
+         text || case when doc_id % 3 = 0 then '{_UNORM_WIDTH}'
+                      when doc_id % 3 = 1 then '{_UNORM_MARKS}'
+                      else '' end as text
+  from documents),
+n as (
+  select doc_id, text,
+         nfc_normalize(translate(text, '{FULLWIDTH_SRC}', '{_fw_dst}')) as norm_text
+  from d)
+select doc_id::bigint as doc_id, norm_text,
+       length(text)::bigint as n_before,
+       length(norm_text)::bigint as n_after,
+       (norm_text <> text) as changed
+from n"""
+
     return o

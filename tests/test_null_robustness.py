@@ -317,3 +317,29 @@ def test_domain_quality_survives_nulls_and_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id long, url string, is_bad boolean")
     assert domain_quality_filter(empty, bad_expr="is_bad").count() == 0
+
+
+def test_retrieval_and_unicode_norm_survive_nulls_and_empty(spark, nullish):
+    """bm25 over null/empty texts (they define no tokens: excluded from
+    N/avgdl, can never match) and empty corpora (stats row is zeros ->
+    no matches, not a divide-by-zero); normalize_text keeps NULL NULL
+    and flows through empty tables."""
+    from chinese_corpus_cleaning_spark.functions.unicode_norm import (
+        normalize_text,
+    )
+    from chinese_corpus_cleaning_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    got = bm25_topk(nullish, ["text", "words"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    assert bm25_topk_batch(nullish, {"q": ["text"]}, k=5).count() == 1
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+    assert bm25_topk_batch(empty, {"q": ["x"]}, k=5).count() == 0
+
+    norm = {r["doc_id"]: r["norm_text"] for r in normalize_text(nullish).collect()}
+    assert norm[1] is None and norm[2] == ""
+    assert normalize_text(empty).count() == 0
