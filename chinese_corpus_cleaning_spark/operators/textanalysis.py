@@ -281,6 +281,127 @@ def decontaminate_bloom(
     return docs.select(id_col, text_col).mapInPandas(probe, out_schema)
 
 
+def decontaminate_remove(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    pad: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination, REMOVAL form (GPT-3 appendix C, Brown
+    et al. 2020; token-space variant): instead of only flagging a
+    contaminated document, cut the contaminated spans out and keep the
+    rest. For every corpus doc returns (id, cleaned_text, n_matches,
+    n_spans_removed, n_tokens_removed, contaminated).
+
+    Semantics (deterministic, mirrored by the DuckDB oracle): tokens are
+    the single-space split (byte-identical to the detect family's gram
+    expr); a match is a token ``n``-gram whose md5-h60 hash is in the
+    benchmark's distinct gram-hash set; the removal mask is the union of
+    ``[i - pad, i + n + pad)`` over matched starts ``i`` (clamped);
+    ``cleaned_text`` re-joins unmasked tokens with ' ';
+    ``n_spans_removed`` counts maximal contiguous masked runs. A NULL
+    text stays NULL with zero counts. Whether to DROP heavily-cut docs
+    is the pipeline's call (GPT-3 dropped >10-span docs) — compose a
+    filter on the returned counts.
+
+    Scale shape: the benchmark side (small by definition) collapses to
+    its distinct gram hashes once (Arrow to the driver, like the bloom
+    build) and broadcasts as a plain hash set; the corpus is rewritten
+    in ONE Arrow ``mapInPandas`` pass — no explode of the huge side, no
+    join, no shuffle (plan-asserted). At 100 TB with a large benchmark,
+    shortlist first: ``decontaminate_bloom`` (zero-shuffle, ~3 bytes per
+    benchmark gram) -> filter ``contaminated`` -> run this on the
+    (tiny) flagged remainder, so the exact set only probes docs that
+    can match.
+
+    Note the same caveat GPT-3's procedure has: re-joining the pieces
+    around a hole can in principle form a NEW n-gram; the operator does
+    not re-scan (single-pass, like the published procedure).
+    """
+    import numpy as np
+
+    spark = docs.sparkSession
+    gram = (
+        f"case when size(split({text_col}, ' ')) >= {n} then "
+        f"transform(sequence({n}, size(split({text_col}, ' '))), "
+        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
+        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
+        f"else cast(array() as array<bigint>) end"
+    )
+    bench_pdf = (
+        benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct().toPandas()
+    )
+    bc = spark.sparkContext.broadcast(
+        frozenset(int(g) for g in bench_pdf["g"].to_numpy())
+    )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, cleaned_text string, n_matches bigint, "
+        f"n_spans_removed bigint, n_tokens_removed bigint, contaminated boolean"
+    )
+
+    def rewrite(batches):
+        import hashlib
+
+        import pandas as pd
+
+        bset = bc.value
+        for pdf in batches:
+            cleaned, nm, nsp, ntr = [], [], [], []
+            for text in pdf[text_col]:
+                if not isinstance(text, str):
+                    cleaned.append(None)
+                    nm.append(0)
+                    nsp.append(0)
+                    ntr.append(0)
+                    continue
+                toks = text.split(" ")
+                length = len(toks)
+                starts = [
+                    i
+                    for i in range(length - n + 1)
+                    if int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + n]).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    in bset
+                ]
+                if not starts:
+                    cleaned.append(text)
+                    nm.append(0)
+                    nsp.append(0)
+                    ntr.append(0)
+                    continue
+                mask = np.zeros(length, dtype=bool)
+                for i in starts:
+                    mask[max(0, i - pad) : i + n + pad] = True
+                kept = [t for t, m_ in zip(toks, mask) if not m_]
+                runs = int(mask[0]) + int(
+                    np.count_nonzero(mask[1:] & ~mask[:-1])
+                )
+                cleaned.append(" ".join(kept))
+                nm.append(len(starts))
+                nsp.append(runs)
+                ntr.append(int(mask.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cleaned_text": pd.Series(cleaned, dtype="object"),
+                    "n_matches": pd.Series(nm, dtype="int64"),
+                    "n_spans_removed": pd.Series(nsp, dtype="int64"),
+                    "n_tokens_removed": pd.Series(ntr, dtype="int64"),
+                    "contaminated": [m_ > 0 for m_ in nm],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(rewrite, out_schema)
+
+
 def vocab_topk(
     docs: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2054,6 +2054,64 @@ def q_unicode_normalize(spark, sf_dir):
 QUERIES["unicode_normalize"] = q_unicode_normalize
 
 
+# Planted eval passage for the decontaminate_remove gate (10 tokens -> 3
+# 8-grams); imported by the DuckDB oracle so both engines decorate alike.
+_DECON_PASSAGE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def q_decontaminate_remove(spark, sf_dir):
+    """Decontamination REMOVAL form (textanalysis.decontaminate_remove,
+    GPT-3 appendix C token-space variant): contaminated spans are cut out
+    (mask = matched 8-gram starts expanded by pad=2 tokens, unioned),
+    text rebuilt from surviving tokens. Decoration arms: doc_id%13==0
+    truncated to 3 tokens (short-doc path), %97==0 joins the eval set
+    with the planted passage appended (self-match -> full mask), %29==0
+    gets the passage SPLICED after its first five tokens (partial mask,
+    pad eats two salad tokens each side), everyone else untouched. The
+    oracle recomputes the whole rewrite relationally (gram hashes ->
+    range-mask via EXISTS -> lag-window span runs -> ordered string_agg);
+    cleaned_text is compared byte-exact."""
+    from ..operators.textanalysis import decontaminate_remove
+
+    p = _DECON_PASSAGE
+    s = F.split(F.col("text"), " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.array_join(F.slice(s, 1, 3), " "),
+        )
+        .when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit(" " + p)))
+        .when(
+            (F.col("doc_id") % 29 == 0) & (F.size(s) >= 6),
+            F.concat(
+                F.array_join(F.slice(s, 1, 5), " "),
+                F.lit(" " + p + " "),
+                F.array_join(
+                    F.expr("slice(split(text, ' '), 6, size(split(text, ' ')) - 5)"),
+                    " ",
+                ),
+            ),
+        )
+        .when(F.col("doc_id") % 29 == 0, F.concat(F.col("text"), F.lit(" " + p)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    out = decontaminate_remove(d, bench, n=8, pad=2)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        "cleaned_text",
+        F.col("n_matches").cast("bigint"),
+        F.col("n_spans_removed").cast("bigint"),
+        F.col("n_tokens_removed").cast("bigint"),
+        "contaminated",
+    )
+
+
+QUERIES["decontaminate_remove"] = q_decontaminate_remove
+
+
 # The driver's correctness gate snapshots the FIRST 50 catalog entries; the
 # local replica (tests/test_oracle_parity.py) runs all of them. This reorder
 # is the LAST statement touching QUERIES (CLAUDE.md invariant: every distinct
@@ -2240,6 +2298,18 @@ QUERIES["unicode_normalize"] = q_unicode_normalize
 #                             (§2.10 scalar-function breadth, no join/agg/
 #                             window of its own) whose per-row extracted
 #                             values stay verified in the local replica
+# round-7 late demotion (admitting decontaminate_remove into the window):
+#   decontaminate_overlap  -> decontaminate_remove's first phase IS the
+#                             detect kernel (same md5-h60 token-8-gram
+#                             hashing, same benchmark gram-set build on
+#                             the same %97 eval split incl. the %13
+#                             short-doc truncation arm; its contaminated
+#                             flag == n_matches > 0 is a column of the
+#                             removal gate); per-doc overlap COUNTS
+#                             (n_overlap counts distinct grams, n_matches
+#                             counts match positions) stay verified in
+#                             the local replica, and the zero-shuffle
+#                             bloom twin keeps its own differential suite
 # round-7 late demotion (admitting unicode_normalize into the window):
 #   repetition_signals     -> quality_keep_full_gopher runs the SAME
 #                             operator (textanalysis.repetition_signals)
@@ -2274,6 +2344,7 @@ QUERIES["unicode_normalize"] = q_unicode_normalize
 #                             engine is actually for); per-row revenue
 #                             values stay verified in the local replica
 _GATE_TAIL = [
+    "decontaminate_overlap",
     "repetition_signals",
     "ann_topk_lsh",
     "langid_stopwords",

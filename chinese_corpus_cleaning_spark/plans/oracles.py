@@ -2290,4 +2290,70 @@ select doc_id::bigint as doc_id, norm_text,
        (norm_text <> text) as changed
 from n"""
 
+    # Decontamination removal: the whole token-space rewrite recomputed
+    # relationally — same md5-h60 8-gram hash as the detect family, mask =
+    # EXISTS range probe over matched starts (pad 2), span runs via a lag
+    # window, text rebuilt with an ordered filtered string_agg (byte-exact
+    # vs the Spark Arrow pass). string_agg over zero kept rows is NULL ->
+    # coalesce '' (Python joins an empty list to '').
+    from .catalog import _DECON_PASSAGE
+
+    _dp = _DECON_PASSAGE
+    o["decontaminate_remove"] = f"""
+with dec as (
+  select doc_id,
+    case when doc_id % 13 = 0
+           then array_to_string(string_split(text, ' ')[1:3], ' ')
+         when doc_id % 97 = 0 then text || ' {_dp}'
+         when doc_id % 29 = 0 and len(string_split(text, ' ')) >= 6
+           then array_to_string(string_split(text, ' ')[1:5], ' ')
+                || ' {_dp} '
+                || array_to_string(
+                     string_split(text, ' ')[6:len(string_split(text, ' '))], ' ')
+         when doc_id % 29 = 0 then text || ' {_dp}'
+         else text end as text
+  from documents),
+lst as (select doc_id, string_split(text, ' ') as l from dec),
+bg as (
+  select distinct
+    ('0x' || substr(md5(array_to_string(l[i : i + 7], ' ')), 1, 15))::bigint as g
+  from lst, unnest(case when len(l) >= 8
+                        then generate_series(1, len(l) - 7)
+                        else [] end) as u(i)
+  where doc_id % 97 = 0),
+dg as (
+  select doc_id, i,
+    ('0x' || substr(md5(array_to_string(l[i : i + 7], ' ')), 1, 15))::bigint as g
+  from lst, unnest(case when len(l) >= 8
+                        then generate_series(1, len(l) - 7)
+                        else [] end) as u(i)),
+bad as (select dg.doc_id, dg.i from dg join bg using (g)),
+toks as (
+  select doc_id, j, l[j] as tok
+  from lst, unnest(generate_series(1, len(l))) as u(j)),
+mask as (
+  select t.doc_id, t.j, t.tok,
+    exists(select 1 from bad b
+           where b.doc_id = t.doc_id
+             and t.j between b.i - 2 and b.i + 7 + 2) as m
+  from toks t),
+runs as (
+  select doc_id, j, tok, m,
+    coalesce(lag(m) over (partition by doc_id order by j), false) as pm
+  from mask),
+agg as (
+  select doc_id,
+    coalesce(string_agg(tok, ' ' order by j) filter (where not m), '')
+      as cleaned_text,
+    count(*) filter (where m) as n_tokens_removed,
+    count(*) filter (where m and not pm) as n_spans_removed
+  from runs group by doc_id),
+nm as (select doc_id, count(*) as n_matches from bad group by doc_id)
+select a.doc_id::bigint as doc_id, a.cleaned_text,
+       coalesce(nm.n_matches, 0)::bigint as n_matches,
+       a.n_spans_removed::bigint as n_spans_removed,
+       a.n_tokens_removed::bigint as n_tokens_removed,
+       (coalesce(nm.n_matches, 0) > 0) as contaminated
+from agg a left join nm using (doc_id)"""
+
     return o

@@ -343,3 +343,22 @@ def test_retrieval_and_unicode_norm_survive_nulls_and_empty(spark, nullish):
     norm = {r["doc_id"]: r["norm_text"] for r in normalize_text(nullish).collect()}
     assert norm[1] is None and norm[2] == ""
     assert normalize_text(empty).count() == 0
+
+
+def test_decontaminate_remove_survives_nulls_and_empty(spark, nullish):
+    from chinese_corpus_cleaning_spark.operators.textanalysis import (
+        decontaminate_remove,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate_remove(nullish, bench).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["cleaned_text"] is None and not got[1]["contaminated"]
+    assert got[2]["cleaned_text"] == ""
+    assert got[3]["cleaned_text"] == "normal text with words"
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate_remove(empty, bench).count() == 0
+    assert decontaminate_remove(nullish, empty).where("contaminated").count() == 0
