@@ -1,7 +1,8 @@
 """The curation mega-pipeline: every stage a 100 TB training-data run needs,
 composed as ONE Spark plan —
 
-    [URL blocklist ->] quality/scrub/PII [-> domain-quality screen]
+    [URL blocklist ->] [unicode normalize ->]
+        quality/scrub/PII [-> domain-quality screen]
         -> near-dup dedup -> corpus boilerplate removal
         [-> paragraph dedup] [-> C4 line cleanup]
         -> deterministic stratified sample
@@ -78,6 +79,7 @@ def curation_run(
     para_dedup: bool = False,
     para_min_chars: int = 1,
     para_broadcast_drops: bool | None = None,
+    normalize: bool = False,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Returns (curated, observations). ``curated`` has columns
     (id, clean_text, n_lines_removed, *strata, sample_rank); run ONE action
@@ -110,6 +112,16 @@ def curation_run(
       exactly-repeated paragraphs below the boilerplate frequency bar
       keeps only its h60-first occurrence; dropped paragraphs fold into
       ``n_lines_removed``.
+    * ``normalize`` — stage 0.5, Unicode canonicalization
+      (functions/unicode_norm: full-width→ASCII fold + NFC) applied to
+      ``text_col`` in place BEFORE any text-keyed work, so the DFA
+      scrub, MinHash shingles, boilerplate digests, and paragraph
+      hashes all see canonical bytes (a full-width or decomposed copy
+      of a doc becomes its exact duplicate). Map-side (one native
+      translate + one Arrow pass) — the text-shuffle audit is
+      unchanged; the changed-doc count lands in
+      ``observations['normalized']`` at zero extra jobs. Runs AFTER
+      the blocklist so blocked docs never pay the NFC UDF.
     * a perplexity stratum needs no knob: strata columns pass through
       every stage, so label docs with operators/perplexity.ppl_buckets
       first and name its ``ppl_bucket`` column in ``strata``.
@@ -142,6 +154,27 @@ def curation_run(
             .where(~F.col("is_blocked"))
             .drop("host", "blocked_domain", "is_blocked")
             .observe(obs["unblocked"], F.count(F.lit(1)).alias("n"))
+        )
+
+    # ---- stage 0.5 (opt-in): unicode canonicalization in place — width
+    # fold native, NFC one Arrow pass; downstream hashing sees canonical
+    # bytes. Changed-count observation rides the same pass.
+    if normalize:
+        from ..functions.unicode_norm import fold_width_col, nfc_col
+
+        obs["normalized"] = Observation("curation_normalized")
+        work = (
+            work.withColumn(
+                "__norm", nfc_col(fold_width_col(F.col(text_col)))
+            )
+            .observe(
+                obs["normalized"],
+                F.sum(
+                    (F.col("__norm") != F.col(text_col)).cast("bigint")
+                ).alias("n_changed"),
+            )
+            .withColumn(text_col, F.col("__norm"))
+            .drop("__norm")
         )
 
     # ---- stage 1: quality + DFA scrub + PII mask (one Arrow pass + native

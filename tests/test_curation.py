@@ -394,3 +394,48 @@ def test_para_dedup_stage_composes(spark, corpus):
     n_phone = sum(r["clean_text"].count("<PHONE>") for r in rows)
     assert n_phone == 1
     base_df.unpersist()
+
+
+def test_normalize_stage_composes(spark, corpus):
+    """Stage 0.5: normalize=True over a corpus decorated with full-width
+    ASCII and decomposed combining marks equals the stage-off pipeline run
+    over the PRE-normalized input (byte-for-byte, every output column),
+    the changed-doc count lands in observations['normalized'], and a
+    full-width/decomposed near-copy becomes an exact duplicate that the
+    dedup stage collapses."""
+    from chinese_corpus_cleaning_spark.functions.unicode_norm import (
+        normalize_text,
+    )
+
+    half = corpus.collect()
+    # doc 40/41: same body, one tail ASCII, one tail full-width +
+    # decomposed — exact dups only after normalization
+    body = half[5]["text"]
+    extra = [
+        (40, body + "\ntest123 café", "zh", "s1"),
+        (41, body + "\nｔｅｓｔ１２３ café", "zh", "s1"),
+        (42, half[6]["text"] + "\n１２３４！", "zh", "s2"),
+    ]
+    planted = corpus.union(
+        spark.createDataFrame(extra, "doc_id bigint, text string, lang string, source string")
+    )
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+
+    curated, ob = curation_run(
+        planted, bc, strata=("source",), k_per_stratum=50, normalize=True
+    )
+    rows = {r["doc_id"]: r for r in curated.collect()}
+    assert ob["normalized"].get["n_changed"] >= 3
+
+    # equivalence: normalize-then-curate == curate(pre-normalized input)
+    pre = normalize_text(planted, out_col="text")
+    base, _ = curation_run(
+        pre, bc, strata=("source",), k_per_stratum=50
+    )
+    base_rows = {r["doc_id"]: r for r in base.collect()}
+    assert set(rows) == set(base_rows)
+    for did, r in rows.items():
+        assert tuple(r) == tuple(base_rows[did]), did
+
+    # 40 and 41 normalize to identical text -> exactly one survives dedup
+    assert len({40, 41} & set(rows)) == 1
