@@ -1,6 +1,8 @@
 """Regex-based PII masking: mainland mobile phones, 18-digit resident IDs,
-URLs — the "regex-based PII/toxicity scrub (phone, ID-number, URL)" the
-reference applies via its word-list DFA + URL rule but never masks.
+URLs, email addresses, IPv4 addresses — the "regex-based PII/toxicity
+scrub (phone, ID-number, URL)" the reference applies via its word-list
+DFA + URL rule but never masks, extended with the remaining
+Dolma-standard classes (email/IP; Soldaini et al. 2024 §2).
 
 Pattern provenance (reference, cited per CLAUDE.md):
   - phone: the reference's own ad-spam fixtures plant mainland mobiles
@@ -37,8 +39,11 @@ Cross-engine portability (Spark/Java regex == DuckDB/RE2 == Python re):
     inside a \\b-guarded pattern is unsound (full-width digits are not
     ASCII word chars, so a match ending on one can never satisfy the
     trailing \\b). translate() exists natively in Spark, DuckDB and Python.
-  - Mask order is URL -> ID -> PHONE so a phone/ID inside a URL is masked
-    as part of the URL, never double-counted; `\\b` guards are zero-width,
+  - Mask order is EMAIL -> URL -> ID -> PHONE -> IP: a phone/ID inside a
+    URL is masked as part of the URL, never double-counted; email runs
+    before the URL rules because RE2 has no lookbehind to keep the
+    bare-domain arm off an email's domain part (see _EMAIL_TEMPLATE's
+    comment); `\\b` guards are zero-width,
     so back-to-back occurrences ("13917340054,13888888888") both mask in
     one pass (a consumed-context guard like ([^0-9]|$) would skip every
     second one).
@@ -72,6 +77,23 @@ _ID_TEMPLATE = (
     r"[0-9]{{3}}[0-9Xx]{RB}"
 )
 _PHONE_TEMPLATE = r"{LB}1[3-9][0-9]{{9}}{RB}"
+# Email and IPv4 (the remaining Dolma-standard PII classes; Soldaini et
+# al. 2024 §2 masks email/phone/IP). Email masks BEFORE the URL rules —
+# RE2 has no lookbehind, so the bare-domain URL arm cannot be taught to
+# skip an email's domain part; masking the email first means
+# 'a@b.com' -> '<EMAIL>' instead of 'a@<URL>'. Consequence (documented,
+# deliberate): a userinfo URL 'https://user@host.com/x' masks its
+# embedded email. The first local-part char is required alphanumeric so
+# the ASCII-word boundary stays sound. IPv4 masks LAST (octet-exact
+# 0-255; no dots in phones/IDs, no TLD letters in IPs — no interference);
+# a longer dotted run like '1.2.3.4.5' masks its first valid quad, same
+# as the published regex sets.
+_EMAIL_TEMPLATE = (
+    r"{LB}[A-Za-z0-9][A-Za-z0-9._%+-]*@"
+    r"[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{{2,}}{RB}"
+)
+_IP_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{{2}}|[1-9]?[0-9])"
+_IP_TEMPLATE = r"{LB}(" + _IP_OCTET + r"\.){{3}}" + _IP_OCTET + r"{RB}"
 
 _BOUNDS = {
     "re2": {"LB": r"\b", "RB": r"\b"},
@@ -81,16 +103,25 @@ _BOUNDS = {
 URL_TOKEN = "<URL>"
 ID_TOKEN = "<ID>"
 PHONE_TOKEN = "<PHONE>"
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+
+# canonical reason order for the pii_reasons list (mask-count columns and
+# the reasons array in all three engines follow this)
+REASON_ORDER = ("phone", "id_number", "url", "email", "ip")
 
 
 def pii_rules(dialect: str = "re2") -> tuple[tuple[str, str, str], ...]:
-    """(reason, pattern, token) in MASK ORDER — longest/outermost first.
+    """(reason, pattern, token) in MASK ORDER — longest/outermost first
+    (email precedes the URL rules, see _EMAIL_TEMPLATE's comment).
     dialect 're2' (DuckDB, Python+re.ASCII) or 'java' (Spark)."""
     b = _BOUNDS[dialect]
     return (
+        ("email", _EMAIL_TEMPLATE.format(**b), EMAIL_TOKEN),
         ("url", _URL_TEMPLATE.format(**b), URL_TOKEN),
         ("id_number", _ID_TEMPLATE.format(**b), ID_TOKEN),
         ("phone", _PHONE_TEMPLATE.format(**b), PHONE_TOKEN),
+        ("ip", _IP_TEMPLATE.format(**b), IP_TOKEN),
     )
 
 
@@ -119,7 +150,7 @@ def mask_pii(text: str | None) -> tuple[str | None, list[str], dict[str, int]]:
     counts: dict[str, int] = {}
     for reason, rx, tok in _COMPILED:
         t, counts[reason] = rx.subn(tok, t)
-    reasons = [r for r in ("phone", "id_number", "url") if counts[r] > 0]
+    reasons = [r for r in REASON_ORDER if counts[r] > 0]
     return t, reasons, counts
 
 
@@ -143,19 +174,12 @@ def pii_columns(text_col):
         t = F.regexp_replace(t, F.lit(pat), F.lit(tok))
     reasons = F.array_compact(
         F.array(
-            *(
-                F.when(counts[r] > 0, F.lit(r))
-                for r in ("phone", "id_number", "url")
-            )
+            *(F.when(counts[r] > 0, F.lit(r)) for r in REASON_ORDER)
         )
     )
-    return {
-        "pii_text": t,
-        "pii_reasons": reasons,
-        "n_phone": counts["phone"],
-        "n_id_number": counts["id_number"],
-        "n_url": counts["url"],
-    }
+    out = {"pii_text": t, "pii_reasons": reasons}
+    out.update({f"n_{r}": counts[r] for r in REASON_ORDER})
+    return out
 
 
 def pii_sql_chain(expr: str) -> dict[str, str]:

@@ -1359,18 +1359,24 @@ _PII_ID_EXPR = (
     " || case when doc_id % 2 = 0 then 'X' else '7' end"
 )
 _PII_DECOR = (
-    "text || case when doc_id % 5 = 0 then"
+    "text || case when doc_id % 7 = 0 then"
     f" ' 联系电话：' || {_PII_PHONE_EXPR} || '，访问www.promo'"
     " || cast(doc_id % 9 as string) || '.example.com了解详情'"
-    " when doc_id % 5 = 1 then"
+    " when doc_id % 7 = 1 then"
     f" ' 电话' || translate({_PII_PHONE_EXPR},"
     " '0123456789', '０１２３４５６７８９') || '句末'"
-    " when doc_id % 5 = 2 then"
+    " when doc_id % 7 = 2 then"
     f" ' 身份证' || {_PII_ID_EXPR} || '。'"
-    " when doc_id % 5 = 3 then"
+    " when doc_id % 7 = 3 then"
     " ' see https://promo' || cast(doc_id % 7 as string)"
     " || '.example.com/p/' || cast(doc_id as string)"
     " || ' or visit promo-site.cn today'"
+    " when doc_id % 7 = 4 then"
+    " ' 邮箱contact' || cast(doc_id % 9 as string) || '@mail'"
+    " || cast(doc_id % 4 as string) || '.example-mail.com 了解更多'"
+    " when doc_id % 7 = 5 then"
+    " ' 服务器10.' || cast(doc_id % 200 as string) || '.'"
+    " || cast(doc_id % 250 as string) || '.1在线'"
     " else '' end"
 )
 
@@ -1380,7 +1386,10 @@ def q_pii_scrub(spark, sf_dir):
     byte-parity DFA scrub — the north-star 'regex-based PII scrub (phone,
     ID-number, URL)' (reference fixtures: test_filter.py:104,117 plant
     13917340054 / www.example.com; URL shape generalizes
-    rule_filter.py:31). The DFA pass (real pandas UDF, EN_LEXICON trie)
+    rule_filter.py:31), extended round 7 with the remaining Dolma classes
+    (email, IPv4 — decoration arms %7==4/5 exercise both, incl. the
+    email-before-URL ordering that keeps the bare-domain arm off an
+    email's domain part). The DFA pass (real pandas UDF, EN_LEXICON trie)
     lowercases + star-masks first, exactly as in scrub_text; the PII pass
     is a pure native-Column projection on its output, so DFA byte-parity
     is untouched by construction. pii_reasons is array_join'd — the gate
@@ -1402,6 +1411,8 @@ def q_pii_scrub(spark, sf_dir):
         "n_phone",
         "n_id_number",
         "n_url",
+        "n_email",
+        "n_ip",
     )
 
 

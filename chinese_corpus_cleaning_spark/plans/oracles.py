@@ -1585,15 +1585,19 @@ p as (select doc_id,
         {chain["pii_text"]} as pii_text,
         {chain["n_phone"]} as n_phone,
         {chain["n_id_number"]} as n_id_number,
-        {chain["n_url"]} as n_url
+        {chain["n_url"]} as n_url,
+        {chain["n_email"]} as n_email,
+        {chain["n_ip"]} as n_ip
       from s)
 select doc_id::bigint as doc_id, pii_text,
   coalesce(array_to_string(list_filter(
     [case when n_phone > 0 then 'phone' end,
      case when n_id_number > 0 then 'id_number' end,
-     case when n_url > 0 then 'url' end], x -> x is not null), ','), '')
+     case when n_url > 0 then 'url' end,
+     case when n_email > 0 then 'email' end,
+     case when n_ip > 0 then 'ip' end], x -> x is not null), ','), '')
     as pii_reasons,
-  n_phone, n_id_number, n_url
+  n_phone, n_id_number, n_url, n_email, n_ip
 from p"""
 
     # media header decode: the oracle recomputes dimensions from the SAME

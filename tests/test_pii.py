@@ -14,8 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from chinese_corpus_cleaning_spark.functions.pii import (
+    EMAIL_TOKEN,
     ID_TOKEN,
+    IP_TOKEN,
     PHONE_TOKEN,
+    REASON_ORDER,
     URL_TOKEN,
     fold_width,
     mask_pii,
@@ -48,6 +51,15 @@ CASES = [
     "bad month 110101199013077578 and bad day 110101199003327578",
     "12917340054 not a mobile prefix",
     "http://a.b/x?y=1&z=2#frag plus www.x-y.com/p+q more",
+    # email / IP (round-7 Dolma classes)
+    "邮箱contact.me+tag@mail-server.example.com结尾",
+    "write a@b.co or A_1%x@sub.domain.cn, thanks",
+    ".leading@dot.com needs alnum start; mid a@b tldless",
+    "userinfo https://user@host.example.com/x masks the email part",
+    "server 10.0.255.1端口 and 255.255.255.255 edge",
+    "not ip 256.1.1.1 and versionish v1.2.3.4 and 1.2.3.4.5 run",
+    "full-width ip １０.２.３.４ folds then masks",
+    "ports 192.168.0.1:8080 ok",
     None,
     "",
 ]
@@ -57,7 +69,9 @@ def test_mask_pii_fixture_semantics():
     m, reasons, counts = mask_pii(CASES[0])
     assert PHONE_TOKEN in m and URL_TOKEN in m
     assert reasons == ["phone", "url"]
-    assert counts == {"url": 1, "id_number": 0, "phone": 1}
+    assert counts == {
+        "url": 1, "id_number": 0, "phone": 1, "email": 0, "ip": 0,
+    }
     # back-to-back phones both mask in ONE pass (zero-width boundaries)
     assert mask_pii("13917340054,13888888888")[0] == "<PHONE>,<PHONE>"
     # full-width folds then masks; the fold itself is visible in output
@@ -75,6 +89,35 @@ def test_mask_pii_fixture_semantics():
     assert fold_width("０9８") == "098"
 
 
+def test_mask_pii_email_and_ip_semantics():
+    # email masks whole, CJK-adjacent, before the bare-domain URL arm
+    m, reasons, _ = mask_pii("邮箱contact.me+tag@mail-server.example.com结尾")
+    assert m == f"邮箱{EMAIL_TOKEN}结尾" and reasons == ["email"]
+    # an email's domain must NOT degrade to '<URL>' (the ordering point)
+    assert URL_TOKEN not in mask_pii("a@b.co done")[0]
+    # alnum-start rule: a leading dot keeps the boundary sound
+    m, _, counts = mask_pii(".leading@dot.com x")
+    assert m == f".{EMAIL_TOKEN} x" and counts["email"] == 1
+    # tld-less a@b does not mask
+    assert mask_pii("mid a@b tldless")[0] == "mid a@b tldless"
+    # userinfo URL: email rule eats the user@host part (documented)
+    m, _, _ = mask_pii("https://user@host.example.com/x")
+    assert EMAIL_TOKEN in m
+    # IP: octet-exact, CJK-adjacent, full-width folds first
+    assert mask_pii("server 10.0.255.1端口")[0] == f"server {IP_TOKEN}端口"
+    assert mask_pii("１０.２.３.４")[0] == IP_TOKEN
+    assert mask_pii("256.1.1.1")[0] == "256.1.1.1"  # 256 not an octet...
+    # ...but its valid 4-octet TAIL '6.1.1.1' has a clean boundary? no —
+    # '6' is digit-glued to '25' (ASCII-word boundary), so nothing masks
+    assert mask_pii("v1.2.3.4")[0] == "v1.2.3.4"  # letter-glued
+    m, _, counts = mask_pii("1.2.3.4.5 run")
+    assert counts["ip"] == 1 and m.startswith(IP_TOKEN)  # first quad, as
+    # published regex sets behave
+    assert mask_pii("192.168.0.1:8080")[0] == f"{IP_TOKEN}:8080"
+    # reason order is pinned
+    assert list(REASON_ORDER) == ["phone", "id_number", "url", "email", "ip"]
+
+
 def test_spark_matches_python_twin(spark):
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(CASES)], "i long, t string"
@@ -88,31 +131,26 @@ def test_spark_matches_python_twin(spark):
         m, reasons, counts = mask_pii(c)
         assert r["pii_text"] == m, c
         assert list(r["pii_reasons"]) == reasons, c
-        assert (r["n_phone"], r["n_id_number"], r["n_url"]) == (
-            counts["phone"],
-            counts["id_number"],
-            counts["url"],
+        assert tuple(r[f"n_{k}"] for k in REASON_ORDER) == tuple(
+            counts[k] for k in REASON_ORDER
         ), c
 
 
 def test_duckdb_matches_python_twin():
     con = duckdb.connect()
     chain = pii_sql_chain("t")
+    cols = ", ".join(f"{chain[f'n_{k}']} as n_{k}" for k in REASON_ORDER)
     sql = (
-        f"select {chain['pii_text']} as m, {chain['n_phone']} as np, "
-        f"{chain['n_id_number']} as ni, {chain['n_url']} as nu "
+        f"select {chain['pii_text']} as m, {cols} "
         "from (select ?::varchar as t)"
     )
     for c in CASES:
-        dm, n_p, n_i, n_u = con.execute(sql, [c]).fetchone()
+        row = con.execute(sql, [c]).fetchone()
+        dm, got = row[0], row[1:]
         m, _, counts = mask_pii(c)
         assert dm == m, c
         # NULL text counts 0 (coalesced), matching mask_pii/pii_columns
-        assert (n_p, n_i, n_u) == (
-            counts["phone"],
-            counts["id_number"],
-            counts["url"],
-        ), c
+        assert got == tuple(counts[k] for k in REASON_ORDER), c
 
 
 def test_pii_composes_after_scrub_without_touching_it(spark):
