@@ -85,14 +85,7 @@ def main(cpus: int, n_docs: int) -> None:
     def _clf():
         from chinese_corpus_cleaning_spark.operators import classifier
 
-        lab = docs.select(
-            F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
-            "text",
-            F.col("doc_class")
-            .isin(*gen.QUALITY_GOOD_CLASSES)
-            .cast("int")
-            .alias("label"),
-        )
+        lab = gen.label_docs(docs)
         w = classifier.nb_logodds_weights(lab, n=3, n_buckets=1 << 16)
         classifier.classifier_score(lab, w, n=3, n_buckets=1 << 16).agg(
             F.count(F.lit(1)), F.sum(F.col("clf_keep").cast("long"))

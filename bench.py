@@ -181,18 +181,9 @@ def run_bench(spark, sf_dir: str) -> dict[str, float]:
 
     def _clf():
         from chinese_corpus_cleaning_spark.operators import classifier
-        from chinese_corpus_cleaning_spark.sources.gen import (
-            QUALITY_GOOD_CLASSES,
-        )
+        from chinese_corpus_cleaning_spark.sources.gen import label_docs
 
-        lab = gen_docs.select(
-            F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
-            "text",
-            F.col("doc_class")
-            .isin(*QUALITY_GOOD_CLASSES)
-            .cast("int")
-            .alias("label"),
-        )
+        lab = label_docs(gen_docs)
         w = classifier.nb_logodds_weights(lab, n=3, n_buckets=1 << 14)
         classifier.classifier_score(lab, w, n=3, n_buckets=1 << 14).agg(
             F.count(F.lit(1)), F.sum(F.col("clf_keep").cast("long"))

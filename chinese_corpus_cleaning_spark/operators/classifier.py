@@ -388,10 +388,11 @@ def _classifier_score_mapside(
     one gram; the hash is the repo h60 (functions/hashing.py) mod
     n_buckets, memoized per Arrow batch (web text repeats grams heavily
     both within and across docs)."""
-    import hashlib
     from collections import Counter
 
     from pyspark.sql.functions import pandas_udf
+
+    from ..functions.hashing import h60
 
     spark = docs.sparkSession
     wp = weights.select("bucket", "w").toPandas()
@@ -418,10 +419,7 @@ def _classifier_score_mapside(
             for g, c in Counter(grams).items():
                 b = memo.get(g)
                 if b is None:
-                    b = (
-                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                        % n_buckets
-                    )
+                    b = h60(g) % n_buckets  # THE repo gram hash, one def
                     memo[g] = b
                 m += w[b] * c
             out[i] = m

@@ -196,9 +196,18 @@ def bm25_topk_batch(
     ).collect()[0]
     n_docs, total_dl = stats_row["n"], stats_row["total_dl"]
     if not n_docs:
-        schema = (
-            "query_id string, "
-            f"{id_col} bigint, score decimal(18,{quantize}), rank bigint"
+        # Preserve the INPUT id type (review finding: hardcoding bigint
+        # made the empty-corpus branch union/join-incompatible with the
+        # non-empty path for string-id corpora).
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.StringType()),
+                T.StructField(id_col, docs.schema[id_col].dataType),
+                T.StructField("score", T.DecimalType(18, quantize)),
+                T.StructField("rank", T.LongType()),
+            ]
         )
         return spark.createDataFrame([], schema)
     avgdl = float(total_dl) / float(n_docs)

@@ -39,6 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.spam import PY_WS_CLASS
 from .dedup import _h60_sql
 
 __all__ = [
@@ -55,6 +56,32 @@ __all__ = [
 # \uXXXX / \x{...} spellings are dialect-split (CLAUDE.md portable-regex
 # rule; same device as textanalysis.C4_TERMINAL_RE).
 _CJK_CLASS = "[一-鿿]"
+
+# Residue words are runs of NON-whitespace, with "whitespace" = the exact
+# Python-\s codepoint set (spam.PY_WS_CLASS — includes U+3000 ideographic
+# space and NBSP, both common in Chinese webtext; Java/RE2 \s is ASCII-only
+# so the class is explicit). This expression is spliced into a Spark SQL
+# string literal, where backslashes must be doubled ('\\x{09}' lexes to the
+# regex \x{09}); the DuckDB oracle twin splices spam.PY_WS_CLASS as-is
+# (standard-conforming strings keep backslashes literal).
+_NONWS_RUN_SPARK = (
+    "[^" + PY_WS_CLASS[1:].replace("\\", "\\\\") + "+"
+)
+
+
+def _sql_str_lit(s: str) -> str:
+    """Spark SQL string literal for an untrusted Python string.
+
+    salt/seed/split labels are user-supplied and are spliced into SQL
+    expression text; a bare f-string would let a quote or backslash
+    produce malformed SQL (AnalysisException at plan time) or silently
+    altered semantics (review finding). Spark's default lexer
+    (escapedStringLiterals=false) treats backslash as an escape inside
+    '...' — escape it first, then the quote. Same hazard the repo's
+    bpe_apply_merge avoids by binding Columns; here the value must live
+    inside a larger ``F.expr`` string, so escape instead.
+    """
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def token_count_sql(text_col: str, mode: str = "cjk") -> str:
@@ -77,17 +104,22 @@ def token_count_sql(text_col: str, mode: str = "cjk") -> str:
     ``mode='whitespace'``: the original ``size(split(text, ' '))`` count
     (token_stats semantics — NULL behaves as '', which is ONE empty
     token). Kept for parity with pre-round-7 shard layouts.
+
+    Residue words are counted as runs of non-whitespace over the FULL
+    Python-\\s separator set (``_NONWS_RUN_SPARK``), not literal spaces:
+    curation text is newline-joined (clean_text/paragraph joins), so a
+    space-only split would count a phantom token per newline in CJK text
+    and merge words across line breaks in Latin text.
     """
     t = f"coalesce({text_col}, '')"
     if mode == "whitespace":
         return f"size(split({t}, ' '))"
     if mode != "cjk":
         raise ValueError(f"unknown token count mode: {mode!r}")
-    resid = f"trim(regexp_replace({t}, '{_CJK_CLASS}', ' '))"
+    resid = f"regexp_replace({t}, '{_CJK_CLASS}', ' ')"
     return (
         f"regexp_count({t}, '{_CJK_CLASS}') + "
-        f"(case when {resid} = '' then 0 "
-        f"else size(split({resid}, ' +')) end)"
+        f"regexp_count({resid}, '{_NONWS_RUN_SPARK}')"
     )
 
 
@@ -346,7 +378,7 @@ def source_mix(
         )
         .select("__src", "__n", "__p", "__thr")
     )
-    h = _h60_sql(f"concat('{seed}', '|', cast({id_col} as string))")
+    h = _h60_sql(f"concat({_sql_str_lit(seed)}, '|', cast({id_col} as string))")
     return (
         docs.join(
             F.broadcast(rates),
@@ -408,14 +440,14 @@ def hash_split(
     total = sum(w for _, w in weights)
     if len(weights) == 1:
         return docs.withColumn("split", F.lit(labels[0]))
-    h = _h60_sql(f"concat('{salt}', '|', cast({id_col} as string))")
+    h = _h60_sql(f"concat({_sql_str_lit(salt)}, '|', cast({id_col} as string))")
     # the hash is computed ONCE into a bucket column, then dropped — the
     # CASE arms compare a bigint, not re-derive md5 per arm
     arms, cum = [], 0
     for label, wt in weights[:-1]:
         cum += wt
-        arms.append(f"when __bucket < {cum} then '{label}'")
-    expr = f"case {' '.join(arms)} else '{labels[-1]}' end"
+        arms.append(f"when __bucket < {cum} then {_sql_str_lit(label)}")
+    expr = f"case {' '.join(arms)} else {_sql_str_lit(labels[-1])} end"
     return (
         docs.withColumn("__bucket", F.expr(f"pmod({h}, {total})"))
         .withColumn("split", F.expr(expr))

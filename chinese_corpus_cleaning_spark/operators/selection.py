@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from .classifier import classifier_score, nb_logodds_weights
 from .dedup import _h60_sql
+from .sampling import _sql_str_lit
 
 __all__ = ["dsir_logratio_weights", "dsir_select"]
 
@@ -130,7 +131,12 @@ def dsir_select(
     ).select(F.col("id").alias(id_col), F.col("margin").alias("logw"))
     u = (
         F.pmod(
-            F.expr(_h60_sql(f"concat('{salt}|', cast({id_col} as string))")),
+            F.expr(
+                _h60_sql(
+                    f"concat({_sql_str_lit(salt + '|')}, "
+                    f"cast({id_col} as string))"
+                )
+            ),
             F.lit(_U_MOD),
         ).cast("double")
         + F.lit(0.5)

@@ -92,6 +92,31 @@ def quality_stats_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _decon_gram_sql(text_col: str, n: int) -> str:
+    """array<bigint> of md5-h60 hashes over the space-joined token
+    ``n``-gram windows of ``text_col`` — THE decontamination gram hash,
+    defined once on purpose: decontaminate_overlap (exact),
+    decontaminate_bloom (superset probe), and decontaminate_remove (span
+    rewrite) only compose because their gram hashes are byte-identical
+    (bloom ⊇ exact, remove cuts exactly what overlap flags). The Python
+    twin inside the Arrow closures is functions.hashing.h60 over the same
+    joined window.
+
+    Guard the short-doc case: sequence(n, size) DESCENDS when size < n
+    (slice start would hit 0 -> INVALID_PARAMETER_VALUE.START at runtime),
+    while DuckDB's generate_series(n, size) yields an empty list. A doc
+    with < n tokens (e.g. unsegmented Chinese text = 1 whitespace token)
+    simply has no n-grams on either engine.
+    """
+    return (
+        f"case when size(split({text_col}, ' ')) >= {n} then "
+        f"transform(sequence({n}, size(split({text_col}, ' '))), "
+        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
+        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
+        f"else cast(array() as array<bigint>) end"
+    )
+
+
 def decontaminate_overlap(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -108,18 +133,7 @@ def decontaminate_overlap(
     — its distinct n-gram hash set broadcasts; the corpus side is a map-side
     explode + broadcast semi-join + per-doc count. No corpus shuffle beyond
     the final per-doc aggregation on id."""
-    # Guard the short-doc case: sequence(n, size) DESCENDS when size < n
-    # (slice start would hit 0 -> INVALID_PARAMETER_VALUE.START at runtime),
-    # while DuckDB's generate_series(n, size) yields an empty list. A doc
-    # with < n tokens (e.g. unsegmented Chinese text = 1 whitespace token)
-    # simply has no n-grams on either engine.
-    gram = (
-        f"case when size(split({text_col}, ' ')) >= {n} then "
-        f"transform(sequence({n}, size(split({text_col}, ' '))), "
-        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
-        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
-        f"else cast(array() as array<bigint>) end"
-    )
+    gram = _decon_gram_sql(text_col, n)
     bench_grams = (
         benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct()
     )
@@ -209,13 +223,7 @@ def decontaminate_bloom(
     spark = docs.sparkSession
 
     # ---- build: distinct benchmark gram hashes -> driver (Arrow) -> bitmap
-    gram = (
-        f"case when size(split({text_col}, ' ')) >= {n} then "
-        f"transform(sequence({n}, size(split({text_col}, ' '))), "
-        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
-        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
-        f"else cast(array() as array<bigint>) end"
-    )
+    gram = _decon_gram_sql(text_col, n)
     bench_pdf = (
         benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct().toPandas()
     )
@@ -238,9 +246,9 @@ def decontaminate_bloom(
     out_schema = f"{id_col} {id_type}, n_overlap bigint, contaminated boolean"
 
     def probe(batches):
-        import hashlib
-
         import pandas as pd
+
+        from ..functions.hashing import h60
 
         bits = np.frombuffer(bc.value[0], dtype=np.uint64)
         m_, k_ = bc.value[1], bc.value[2]
@@ -255,15 +263,8 @@ def decontaminate_bloom(
                 if not grams:
                     counts.append(0)
                     continue
-                # identical hash to the SQL gram expr: md5 hex, first 15
-                # nibbles, base-16 -> bigint
-                g = np.array(
-                    [
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                        for s in grams
-                    ],
-                    dtype=np.uint64,
-                )
+                # h60 = the SQL gram hash (_decon_gram_sql), one definition
+                g = np.array([h60(s) for s in grams], dtype=np.uint64)
                 pos = _bloom_positions(g, m_, k_)
                 hit = (
                     (bits[pos >> np.uint64(6)] >> (pos & np.uint64(63)))
@@ -323,13 +324,7 @@ def decontaminate_remove(
     import numpy as np
 
     spark = docs.sparkSession
-    gram = (
-        f"case when size(split({text_col}, ' ')) >= {n} then "
-        f"transform(sequence({n}, size(split({text_col}, ' '))), "
-        f"i -> cast(conv(substring(md5(array_join(slice(split({text_col}, ' '), "
-        f"i - {n - 1}, {n}), ' ')), 1, 15), 16, 10) as bigint)) "
-        f"else cast(array() as array<bigint>) end"
-    )
+    gram = _decon_gram_sql(text_col, n)
     bench_pdf = (
         benchmark.select(F.explode(F.expr(gram)).alias("g")).distinct().toPandas()
     )
@@ -344,9 +339,9 @@ def decontaminate_remove(
     )
 
     def rewrite(batches):
-        import hashlib
-
         import pandas as pd
+
+        from ..functions.hashing import h60
 
         bset = bc.value
         for pdf in batches:
@@ -363,13 +358,7 @@ def decontaminate_remove(
                 starts = [
                     i
                     for i in range(length - n + 1)
-                    if int(
-                        hashlib.md5(
-                            " ".join(toks[i : i + n]).encode("utf-8")
-                        ).hexdigest()[:15],
-                        16,
-                    )
-                    in bset
+                    if h60(" ".join(toks[i : i + n])) in bset
                 ]
                 if not starts:
                     cleaned.append(text)

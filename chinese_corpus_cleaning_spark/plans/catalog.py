@@ -1367,8 +1367,11 @@ _PII_DECOR = (
     " '0123456789', '０１２３４５６７８９') || '句末'"
     " when doc_id % 7 = 2 then"
     f" ' 身份证' || {_PII_ID_EXPR} || '。'"
+    # inner modulus 9 is coprime with the arm's 7 so decorated docs cycle
+    # through promo0..promo8 hosts (an inner %7 inside the %7=3 arm is the
+    # CONSTANT '3' — a silent single-host narrowing; review finding)
     " when doc_id % 7 = 3 then"
-    " ' see https://promo' || cast(doc_id % 7 as string)"
+    " ' see https://promo' || cast(doc_id % 9 as string)"
     " || '.example.com/p/' || cast(doc_id as string)"
     " || ' or visit promo-site.cn today'"
     " when doc_id % 7 = 4 then"

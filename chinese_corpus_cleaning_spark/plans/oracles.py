@@ -1769,18 +1769,23 @@ from k"""
     # engines' grapheme-vs-codepoint length() split; DuckDB regexp_replace
     # needs the explicit 'g' flag (Spark's is global by default); the CJK
     # class uses literal endpoint chars (portable across RE2/Java).
-    o["pack_sequences"] = """
+    # Residue words = runs of non-whitespace over the full Python-\s set
+    # (spam.PY_WS_CLASS spliced as-is — RE2 \x{..} syntax; the Spark twin
+    # doubles the backslashes for its SQL literal, sampling._NONWS_RUN_SPARK).
+    from ..functions.spam import PY_WS_CLASS
+
+    nonws_run = "[^" + PY_WS_CLASS[1:] + "+"
+    o["pack_sequences"] = f"""
 with t0 as (
   select doc_id, coalesce(text, '') as t from documents),
 t1 as (
   select doc_id, t,
-    trim(regexp_replace(t, '[一-鿿]', ' ', 'g')) as resid
+    regexp_replace(t, '[一-鿿]', ' ', 'g') as resid
   from t0),
 t as (
   select doc_id,
     (len(regexp_extract_all(t, '[一-鿿]'))
-     + case when resid = '' then 0
-       else len(string_split_regex(resid, ' +')) end)::bigint as n,
+     + len(regexp_extract_all(resid, '{nonws_run}')))::bigint as n,
     ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint as h
   from t1),
 c as (

@@ -213,15 +213,15 @@ def docs_df(spark, n: int, partitions: int = 32):
 QUALITY_GOOD_CLASSES = ("normal_zh", "edge_1989", "near_dup")
 
 
-def labeled_docs_df(spark, n: int, partitions: int = 32):
-    """Deterministic labeled training fixture for the learned quality
-    classifier (operators/classifier.py): (doc_id, text, label, doc_class)
-    with label 1 for the prose classes and 0 for the spam/degenerate ones.
-    Pure function of doc_id like docs_df — same corpus under any
-    partitioning, no external data."""
+def label_docs(d):
+    """Project a docs_df-shaped frame to the canonical labeled fixture
+    (doc_id, text, label, doc_class). ONE definition of the label
+    derivation on purpose: bench.py and BENCH/scale_worker.py label their
+    cached corpora with this too, so a change to the URL shape or the
+    good-class set can never silently drift between the gate fixture and
+    the benches (review finding)."""
     from pyspark.sql import functions as F
 
-    d = docs_df(spark, n, partitions)
     return d.select(
         F.split("url", "/").getItem(4).cast("long").alias("doc_id"),
         "text",
@@ -231,6 +231,15 @@ def labeled_docs_df(spark, n: int, partitions: int = 32):
         .alias("label"),
         "doc_class",
     )
+
+
+def labeled_docs_df(spark, n: int, partitions: int = 32):
+    """Deterministic labeled training fixture for the learned quality
+    classifier (operators/classifier.py): (doc_id, text, label, doc_class)
+    with label 1 for the prose classes and 0 for the spam/degenerate ones.
+    Pure function of doc_id like docs_df — same corpus under any
+    partitioning, no external data."""
+    return label_docs(docs_df(spark, n, partitions))
 
 
 # ------------------------------------------------------- synthetic media

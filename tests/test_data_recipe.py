@@ -172,6 +172,33 @@ def test_hash_split_single_label_and_validation(docs, spark):
         hash_split(docs, weights=())
 
 
+def test_untrusted_salt_seed_labels_are_escaped(docs):
+    """salt/seed/split labels are user strings spliced into SQL expression
+    text; quotes and backslashes must be bound as literals, not lexed
+    (review finding: hash_split(salt="exp'1") raised ParseException).
+    The escaped forms must both PLAN and keep hash-split determinism."""
+    tricky_salt = "exp'1\\x"
+    out = hash_split(
+        docs,
+        weights=(("train's", 9), ("te\\st", 1)),
+        salt=tricky_salt,
+    )
+    counts = {
+        r.split: r.cnt
+        for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(counts) == {"train's", "te\\st"} and sum(counts.values()) == 800
+    # same salt reproduces; the quoted salt is a REAL key (differs from
+    # its quote-stripped cousin)
+    again = {r.doc_id: r.split for r in
+             hash_split(docs, weights=(("train's", 9), ("te\\st", 1)),
+                        salt=tricky_salt).collect()}
+    base = {r.doc_id: r.split for r in out.collect()}
+    assert again == base
+    mix = source_mix(docs, budget=100, seed="mix'seed")
+    assert mix.where("sampled").count() > 0
+
+
 def test_hash_split_is_pure_map(docs):
     import io
     from contextlib import redirect_stdout

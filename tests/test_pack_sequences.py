@@ -109,3 +109,28 @@ def test_cjk_token_semantics(spark):
     assert set(fixed.values()) == {7}
     with pytest.raises(ValueError):
         token_count_sql("text", "bogus")
+
+
+def test_cjk_token_multiline_whitespace(spark):
+    """Separators are the FULL Python-\\s set, not literal spaces: curation
+    text is newline-joined (clean_text/paragraph array_join), so '\\n'
+    between two CJK blocks must contribute ZERO residue tokens, '\\n'
+    between Latin words must SPLIT them, and U+3000/NBSP (common in
+    Chinese webtext) must separate like ASCII space. Review finding:
+    the pre-fix space-only trim/split counted '中文\\n汉字' as 5."""
+    rows = spark.createDataFrame(
+        [
+            (1, "中文\n汉字"),  # 4 CJK + 0 residue (newline is not a token)
+            (2, "one two\nthree four"),  # 4 words (newline splits)
+            (3, "中文 abc\tdef　ghi"),  # 2 CJK + 3 residue words
+            (4, " \n\t　 "),  # whitespace-only -> 0
+            (5, " x y　"),  # exotic separators -> 2 words
+            (6, "纯中文第一行\n第二行"),  # 9 CJK, 0 residue
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_sequences(rows, budget=8, n_buckets=4).collect()
+    }
+    assert out == {1: 4, 2: 4, 3: 5, 4: 0, 5: 2, 6: 9}

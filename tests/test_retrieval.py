@@ -102,6 +102,24 @@ def test_all_terms_absent_yields_empty(spark, docs):
     assert bm25_topk(docs, ["zzz_absent"], k=10).count() == 0
 
 
+def test_batch_empty_corpus_preserves_id_type(spark):
+    """The empty-corpus early return must carry the INPUT id type (review
+    finding: it hardcoded bigint, so a string-id corpus whose texts were
+    all NULL/whitespace produced a union/join-incompatible frame)."""
+    empty_str_ids = spark.createDataFrame(
+        [("a", None), ("b", "  \n ")], "doc_id string, text string"
+    )
+    out = bm25_topk_batch(empty_str_ids, {"q": ["spark"]}, k=3)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    # and it unions cleanly with a non-empty run over the same id type
+    nonempty = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(TEXTS)], "doc_id string, text string"
+    )
+    got = bm25_topk_batch(nonempty, {"q": ["spark"]}, k=3)
+    assert out.unionByName(got).count() == got.count()
+
+
 def test_empty_terms_raise(spark, docs):
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
