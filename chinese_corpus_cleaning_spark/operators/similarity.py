@@ -32,7 +32,38 @@ def _dot(a: str, b: str) -> str:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", F.expr(f"sqrt({_dot(vec_col, vec_col)})"))
+    """L2 norm, NULL for zero vectors: every cosine here divides by
+    (_na * _nb), and Spark 4's default ANSI mode turns a zero-norm
+    embedding (failed embedder, empty doc) into a job-fatal
+    DIVIDE_BY_ZERO. nullif makes cosine-vs-zero-vector NULL instead —
+    NULL orders last under desc (drops out of top-k), compares false
+    against any tau, and max() ignores it, so all downstream keep/rank
+    logic degrades per-row instead of aborting (review finding; the
+    DuckDB oracle fixtures are zero-free so parity is untouched)."""
+    return df.withColumn(
+        "_norm", F.expr(f"nullif(sqrt({_dot(vec_col, vec_col)}), 0.0)")
+    )
+
+
+def _bucketed_norm_frame(
+    vectors: DataFrame,
+    buckets: DataFrame,
+    key: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Slim (id, key, vec, _norm) frame for a within-bucket self-join,
+    localCheckpointed ONCE: both sides of the self-join read this frame,
+    and without the checkpoint each side re-executes the full
+    bucket-expression + interpreted higher-order norm lineage — doubling
+    the corpus scan cost per call (dedup.py multi-branch doctrine;
+    review finding). eager=False: materializes at first action, like the
+    other lazy checkpoints in this repo."""
+    return (
+        with_norm(vectors.join(buckets, id_col), vec_col)
+        .select(id_col, key, vec_col, "_norm")
+        .localCheckpoint(eager=False)
+    )
 
 
 def cosine_topk(
@@ -81,10 +112,20 @@ def cosine_topk(
 
 def hyperplane_sign_expr(vec_col: str, plane: int, dim: int) -> str:
     """SQL expression for sign(dot(vec, H_plane)) where H_plane[d] = +1 if
-    h60(f"{plane}|{d}") is odd else -1 — deterministic, dialect-portable."""
+    h60(f"{plane}|{d}") is odd else -1 — deterministic, dialect-portable.
+
+    try_element_at, not element_at: under Spark 4's default ANSI mode a
+    ragged/truncated embedding (fewer than ``dim`` elements) would abort
+    the whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT (review
+    finding). try_element_at yields NULL, the NULL poisons the sum, and
+    ``case when NULL > 0`` takes the else arm — sign bit 0, which is
+    byte-for-byte what the DuckDB twin (oracles.duck_sign: ``l[i]`` is
+    NULL out of range) already does, so ragged vectors land in bucket 0
+    on BOTH engines instead of failing on one."""
     signs = [1 if h60(f"{plane}|{d}") & 1 else -1 for d in range(dim)]
     terms = " + ".join(
-        f"({'' if s > 0 else '-'}cast(element_at({vec_col}, {d + 1}) as double))"
+        f"({'' if s > 0 else '-'}"
+        f"cast(try_element_at({vec_col}, {d + 1}) as double))"
         for d, s in enumerate(signs)
     )
     return f"(case when ({terms}) > 0 then 1 else 0 end)"
@@ -118,11 +159,11 @@ def ann_topk_lsh(
     """Approximate top-k: candidates restricted to same-bucket pairs
     (equi-join on bucket), then exact cosine + windowed rank within bucket."""
     b = rp_lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
-    v = vectors.join(b, id_col)
-    left = with_norm(v, vec_col).select(
+    v = _bucketed_norm_frame(vectors, b, "bucket", id_col, vec_col)
+    left = v.select(
         F.col(id_col).alias("qid"), "bucket", F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
     )
-    right = with_norm(v, vec_col).select(
+    right = v.select(
         F.col(id_col).alias("neighbor_id"), "bucket", F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
     )
     pairs = (
@@ -196,11 +237,11 @@ def duplicate_ratio_ann(
     all-pairs ``duplicate_ratio`` (kept as the oracle-checkable exact spec).
     Returns (vec_id, dup_ratio) for EVERY input vector."""
     b = rp_lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
-    v = vectors.join(b, id_col)
-    left = with_norm(v, vec_col).select(
+    v = _bucketed_norm_frame(vectors, b, "bucket", id_col, vec_col)
+    left = v.select(
         F.col(id_col).alias("qid"), "bucket", F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
     )
-    right = with_norm(v, vec_col).select(
+    right = v.select(
         F.col(id_col).alias("nid"), "bucket", F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
     )
     max_cos = (
@@ -341,11 +382,11 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     cells = ivf_assign(vectors, n_cells, id_col, vec_col)
-    v = vectors.join(cells, id_col)
-    left = with_norm(v, vec_col).select(
+    v = _bucketed_norm_frame(vectors, cells, "cell", id_col, vec_col)
+    left = v.select(
         F.col(id_col).alias("qid"), "cell", F.col(vec_col).alias("_va"), F.col("_norm").alias("_na")
     )
-    right = with_norm(v, vec_col).select(
+    right = v.select(
         F.col(id_col).alias("neighbor_id"), "cell", F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb")
     )
     pairs = (
@@ -389,13 +430,17 @@ def kmeans_fit(
         F.col(id_col).alias("__kid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     ).localCheckpoint(eager=True)
+    # cid inherits the INPUT id type (review finding: forcing int()/bigint
+    # crashed string-keyed corpora, which every sibling operator accepts)
+    cid_type = vectors.schema[id_col].dataType.simpleString()
+    cent_schema = f"cid {cid_type}, c array<double>"
     cents = [
-        (int(r["cid"]), [float(x) for x in r["c"]])
+        (r["cid"], [float(x) for x in r["c"]])
         for r in seed_centroids(src, k, "__kid", "__v").collect()
     ]
     spark = vectors.sparkSession
     for _ in range(max(0, int(iters))):
-        cdf = spark.createDataFrame(cents, "cid bigint, c array<double>")
+        cdf = spark.createDataFrame(cents, cent_schema)
         assigned = assign_cells(src, cdf, "__kid", "__v").join(src, "__kid")
         # per-cell element-wise mean: one slim (cell, dim) shuffle
         means = (
@@ -411,9 +456,9 @@ def kmeans_fit(
             )
             .collect()
         )
-        new = {int(r["cell"]): [float(x) for x in r["c"]] for r in means}
+        new = {r["cell"]: [float(x) for x in r["c"]] for r in means}
         cents = [(cid, new.get(cid, c)) for cid, c in cents]
-    return spark.createDataFrame(cents, "cid bigint, c array<double>")
+    return spark.createDataFrame(cents, cent_schema)
 
 
 def semdedup(
@@ -451,14 +496,14 @@ def semdedup(
         if centroids is None
         else assign_cells(vectors, centroids, id_col, vec_col)
     )
-    v = vectors.join(cells, id_col)
-    left = with_norm(v, vec_col).select(
+    v = _bucketed_norm_frame(vectors, cells, "cell", id_col, vec_col)
+    left = v.select(
         F.col(id_col).alias("__qid"),
         "cell",
         F.col(vec_col).alias("_va"),
         F.col("_norm").alias("_na"),
     )
-    right = with_norm(v, vec_col).select(
+    right = v.select(
         F.col(id_col).alias("__pid"),
         "cell",
         F.col(vec_col).alias("_vb"),
@@ -473,7 +518,10 @@ def semdedup(
         .groupBy("__qid")
         .agg(F.max("__cos").alias("max_prior_cos"))
     )
-    return cells.join(prior, cells[id_col] == prior["__qid"], "left").select(
+    # the (id, cell) side reads the SAME checkpointed frame — not `cells`,
+    # whose lineage would re-run the whole assignment a second time
+    ids = v.select(id_col, "cell")
+    return ids.join(prior, ids[id_col] == prior["__qid"], "left").select(
         id_col,
         "cell",
         "max_prior_cos",

@@ -8,10 +8,13 @@ so the Spark shape follows the repo's iterative doctrine (kmeans_fit /
 train_logreg / connected components):
 
 1.  ``bpe_vocab`` — ONE corpus pass: pre-tokenize (portable whitespace
-    class), aggregate to the (token, freq) vocabulary. This is the
-    Sennrich formulation: all further work runs on the vocabulary table
-    (|vocab| << corpus — the 100 TB input collapses to the distinct-token
-    table before any iteration starts), weighted by freq.
+    class, or ``pretokenize='cjk'`` for unsegmented Chinese — see
+    ``CJK_WORD_RE``: whitespace words are sentence-length there, which
+    would break this step's whole premise), aggregate to the (token,
+    freq) vocabulary. This is the Sennrich formulation: all further work
+    runs on the vocabulary table (|vocab| << corpus — the 100 TB input
+    collapses to the distinct-token table before any iteration starts),
+    weighted by freq.
 2.  per merge iteration:
       a. adjacent-pair counts: map-side explode of (sym[i], sym[i+1])
          guarded against the sequence() descent landmine, weighted by
@@ -56,22 +59,56 @@ __all__ = [
 # edges (CLAUDE.md portable-regex rule), so both engines get this literal
 WS_CLASS = "[ \\t\\n\\r]+"
 
+# CJK-aware pre-tokenization (pretokenize='cjk'): "words" are CJK runs
+# chunked at CJK_CHUNK chars OR runs of non-CJK non-whitespace. Plain
+# whitespace splitting makes each unsegmented Chinese SENTENCE one vocab
+# token, so |vocab| approaches |corpus| and the Sennrich collapse (the
+# whole point of the vocabulary table) fails for this engine's target
+# corpus (review finding). The chunk boundary is an artificial word
+# boundary — merges never span it — which is the same approximation
+# whitespace BPE already makes at every space; both regex engines
+# (Java via F.lit'd pattern, Python re in bpe_encode) resolve the
+# bounded greedy quantifier identically (leftmost match, maximal munch),
+# so trainer and encoder pre-tokenize byte-identically from this ONE
+# constant. CJK class endpoints are literal chars (portable-regex rule).
+CJK_CHUNK = 16
+CJK_WORD_RE = "[一-鿿]{1," + str(CJK_CHUNK) + "}|[^一-鿿 \\t\\n\\r]+"
+
+_PRETOKENIZE_MODES = ("ws", "cjk")
+
+
+def _check_pretokenize(pretokenize: str) -> None:
+    if pretokenize not in _PRETOKENIZE_MODES:
+        raise ValueError(
+            f"unknown pretokenize mode: {pretokenize!r} "
+            f"(expected one of {_PRETOKENIZE_MODES})"
+        )
+
 
 def bpe_vocab(
     docs: DataFrame,
     text_col: str = "text",
     min_freq: int = 1,
+    pretokenize: str = "ws",
 ) -> DataFrame:
-    """(token, freq, symbols): the whitespace-token vocabulary with each
-    token pre-split into single-codepoint symbols (substring transform —
+    """(token, freq, symbols): the pre-token vocabulary with each token
+    pre-split into single-codepoint symbols (substring transform —
     codepoint-indexed identically in Spark and DuckDB). The one
-    corpus-sized pass; everything after runs on this table."""
+    corpus-sized pass; everything after runs on this table.
+
+    ``pretokenize='ws'`` (default, the published Sennrich word-boundary
+    form) splits on the explicit whitespace class; use ``'cjk'``
+    (``CJK_WORD_RE``) for unsegmented Chinese, where whitespace mode
+    degenerates to sentence-length tokens and the vocabulary table stops
+    being small (see the constant's comment)."""
+    _check_pretokenize(pretokenize)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if pretokenize == "cjk":
+        words = F.regexp_extract_all(t, F.lit(CJK_WORD_RE), F.lit(0))
+    else:
+        words = F.split(t, WS_CLASS)
     toks = (
-        docs.select(
-            F.explode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), WS_CLASS)
-            ).alias("token")
-        )
+        docs.select(F.explode(words).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -160,6 +197,7 @@ def bpe_train(
     text_col: str = "text",
     min_freq: int = 1,
     min_pair_freq: int = 2,
+    pretokenize: str = "ws",
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge table [(left, right, count_at_merge_time), ...] — the artifact
@@ -168,8 +206,13 @@ def bpe_train(
 
     Deterministic: tie-break (cnt desc, left asc, right asc); the
     vocabulary aggregate is partition-independent; each iteration's state
-    is localCheckpointed (loop doctrine)."""
-    vocab = bpe_vocab(docs, text_col, min_freq).localCheckpoint(eager=True)
+    is localCheckpointed (loop doctrine).
+
+    ``pretokenize``: see :func:`bpe_vocab` — pass ``'cjk'`` for
+    unsegmented Chinese, and encode with the SAME mode."""
+    vocab = bpe_vocab(docs, text_col, min_freq, pretokenize).localCheckpoint(
+        eager=True
+    )
     merges: list[tuple[str, str, int]] = []
     for _ in range(int(n_merges)):
         top = (
@@ -245,6 +288,7 @@ def bpe_encode(
     out_col: str = "n_bpe_tokens",
     emit_tokens: bool = False,
     tokens_col: str = "bpe_tokens",
+    pretokenize: str = "ws",
 ) -> DataFrame:
     """Apply a trained BPE merge table: append ``out_col`` (bigint learned
     token count — THE budget unit ``pack_sequences`` wants for real token
@@ -253,9 +297,12 @@ def bpe_encode(
     (array<string> subword segmentation, training-token order).
 
     ``merges`` is ``bpe_train``'s return value ((left, right[, cnt])
-    tuples, training order). Pre-tokenization matches ``bpe_vocab``
-    (portable explicit-whitespace split); NULL/empty text encodes to 0
-    tokens / empty array.
+    tuples, training order). ``pretokenize`` MUST match the mode the
+    merges were trained with (``bpe_vocab``): ``'ws'`` = the portable
+    explicit-whitespace split, ``'cjk'`` = the shared ``CJK_WORD_RE``
+    (CJK runs chunked at CJK_CHUNK + non-CJK runs — the mode for
+    unsegmented Chinese). NULL/empty text encodes to 0 tokens / empty
+    array.
 
     Scale shape: the merge table is one broadcast (a 32k-merge table is
     ~MBs); encoding is ONE Arrow pass over the scan — zero shuffles, zero
@@ -268,6 +315,7 @@ def bpe_encode(
 
     from pyspark.sql.functions import pandas_udf
 
+    _check_pretokenize(pretokenize)
     pairs = [(m[0], m[1]) for m in merges]
     ab_index: dict[str, tuple[int, ...]] = {}
     for i, (a, b) in enumerate(pairs):
@@ -277,32 +325,68 @@ def bpe_encode(
     bc = docs.sparkSession.sparkContext.broadcast(
         (pairs, ab_index, max_ab_len)
     )
-    ws = _re.compile("[ \\t\\n\\r]+")
+    if pretokenize == "cjk":
+        word_re = _re.compile(CJK_WORD_RE)
 
-    @pandas_udf("struct<n: bigint, toks: array<string>>")
-    def _enc(texts: pd.Series) -> pd.DataFrame:
+        def split_words(t):
+            return word_re.findall(t or "")
+
+    else:
+        ws = _re.compile(WS_CLASS)
+
+        def split_words(t):
+            return ws.split(t or "")
+
+    if emit_tokens:
+
+        @pandas_udf("struct<n: bigint, toks: array<string>>")
+        def _enc(texts: pd.Series) -> pd.DataFrame:
+            mg, idx, mal = bc.value
+            memo: dict[str, list[str]] = {}
+            ns: list[int] = []
+            toks_out: list[list[str]] = []
+            for t in texts:
+                toks: list[str] = []
+                for w in split_words(t):
+                    if not w:
+                        continue
+                    s = memo.get(w)
+                    if s is None:
+                        s = _encode_word(w, mg, idx, mal)
+                        memo[w] = s
+                    toks.extend(s)
+                ns.append(len(toks))
+                toks_out.append(toks)
+            return pd.DataFrame({"n": ns, "toks": toks_out})
+
+        enc = _enc(F.col(text_col))
+        return (
+            docs.withColumn("__enc", enc)
+            .withColumn(out_col, F.col("__enc.n"))
+            .withColumn(tokens_col, F.col("__enc.toks"))
+            .drop("__enc")
+        )
+
+    # count-only path (the pack_sequences budget case): return ONLY the
+    # bigint count — the default used to materialize every doc's full
+    # subword list in Python and ship it through Arrow just to drop it
+    # (review finding); per-word memo caches the COUNT, no lists built.
+    @pandas_udf("bigint")
+    def _cnt(texts: pd.Series) -> pd.Series:
         mg, idx, mal = bc.value
-        memo: dict[str, list[str]] = {}
+        memo: dict[str, int] = {}
         ns: list[int] = []
-        toks_out: list[list[str]] = []
         for t in texts:
-            toks: list[str] = []
-            for w in ws.split(t or ""):
+            n_toks = 0
+            for w in split_words(t):
                 if not w:
                     continue
-                s = memo.get(w)
-                if s is None:
-                    s = _encode_word(w, mg, idx, mal)
-                    memo[w] = s
-                toks.extend(s)
-            ns.append(len(toks))
-            toks_out.append(toks)
-        return pd.DataFrame({"n": ns, "toks": toks_out})
+                c = memo.get(w)
+                if c is None:
+                    c = len(_encode_word(w, mg, idx, mal))
+                    memo[w] = c
+                n_toks += c
+            ns.append(n_toks)
+        return pd.Series(ns)
 
-    enc = _enc(F.col(text_col))
-    out = docs.withColumn("__enc", enc).withColumn(
-        out_col, F.col("__enc.n")
-    )
-    if emit_tokens:
-        out = out.withColumn(tokens_col, F.col("__enc.toks"))
-    return out.drop("__enc")
+    return docs.withColumn(out_col, _cnt(F.col(text_col)))

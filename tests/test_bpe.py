@@ -9,6 +9,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from chinese_corpus_cleaning_spark.operators.tokenizer import (
     bpe_apply_merge,
@@ -18,10 +19,17 @@ from chinese_corpus_cleaning_spark.operators.tokenizer import (
 )
 
 
-def _ref_bpe(texts, n_merges, min_pair_freq=2):
+def _ref_bpe(texts, n_merges, min_pair_freq=2, pretokenize="ws"):
+    from chinese_corpus_cleaning_spark.operators.tokenizer import CJK_WORD_RE
+
     vocab = Counter()
     for t in texts:
-        for tok in re.split(r"[ \t\n\r]+", t or ""):
+        toks = (
+            re.findall(CJK_WORD_RE, t or "")
+            if pretokenize == "cjk"
+            else re.split(r"[ \t\n\r]+", t or "")
+        )
+        for tok in toks:
             if tok:
                 vocab[tok] += 1
     symbols = {tok: list(tok) for tok in vocab}
@@ -245,3 +253,73 @@ def test_encode_feeds_pack_sequences(spark, docs):
     assert {r["doc_id"] for r in packed} == set(counts)
     for r in packed:
         assert r["n_tokens"] == counts[r["doc_id"]]
+
+
+UNSEG_TEXTS = [
+    # unsegmented Chinese: NO whitespace anywhere — the case whitespace
+    # pre-tokenization degenerates on (each line one "word")
+    "数据管线的质量决定模型的质量数据管线的质量决定模型的质量",
+    "大规模数据去重与质量过滤是训练语料准备的核心步骤",
+    "质量过滤质量过滤质量过滤",
+    "模型训练需要大规模高质量语料mixed中英文no空格",
+]
+
+
+def test_cjk_pretokenize_bounds_vocab_and_matches_reference(spark):
+    """pretokenize='cjk' (review finding): whitespace mode makes each
+    unsegmented Chinese line ONE vocab token (|vocab| ~ |corpus|); cjk
+    mode chunks CJK runs at CJK_CHUNK and splits at script transitions,
+    and the trainer matches a driver reference using the same shared
+    regex."""
+    from chinese_corpus_cleaning_spark.operators.tokenizer import (
+        CJK_CHUNK,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(UNSEG_TEXTS)], "doc_id long, text string"
+    )
+    # ws mode: every distinct line is one token, lengths unbounded
+    ws_v = bpe_vocab(rows, pretokenize="ws")
+    assert ws_v.agg(F.max(F.length("token"))).collect()[0][0] > CJK_CHUNK
+    # cjk mode: every token bounded, script transitions split
+    cjk_v = bpe_vocab(rows, pretokenize="cjk")
+    assert cjk_v.agg(F.max(F.length("token"))).collect()[0][0] <= CJK_CHUNK
+    toks = {r["token"] for r in cjk_v.collect()}
+    assert "mixed" in toks and "no" in toks  # transition splits
+    # trainer differential with the shared regex
+    want, _ = _ref_bpe(UNSEG_TEXTS, 10, min_pair_freq=2, pretokenize="cjk")
+    got = bpe_train(rows, n_merges=10, min_pair_freq=2, pretokenize="cjk")
+    assert got == want
+    # merges are learned INSIDE CJK runs (impossible under ws mode's
+    # sentence-tokens-only vocab at this min_pair_freq)
+    assert any(len(a) + len(b) >= 2 and a >= "一" for a, b, _ in got)
+    # encode with the same mode round-trips the trained segmentation
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode(rows, got, pretokenize="cjk").collect()
+    }
+    assert out[2] < len(UNSEG_TEXTS[2])  # merges compress the repeats
+    with pytest.raises(ValueError, match="pretokenize"):
+        bpe_vocab(rows, pretokenize="bogus")
+
+
+def test_cjk_chunking_is_engine_identical(spark):
+    """A CJK run longer than CJK_CHUNK chunks greedily (16+rest) and
+    Spark's Java regex agrees byte-for-byte with the Python re the
+    encoder uses — the one-constant contract."""
+    from chinese_corpus_cleaning_spark.operators.tokenizer import (
+        CJK_WORD_RE,
+    )
+
+    long_run = "字" * 37 + " tail" + "尾" * 3
+    rows = spark.createDataFrame([(1, long_run)], "doc_id long, text string")
+    got = rows.select(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(CJK_WORD_RE), F.lit(0)
+        ).alias("w")
+    ).collect()[0]["w"]
+    assert got == re.findall(CJK_WORD_RE, long_run)
+    assert [len(w) for w in got] == [16, 16, 5, 4, 3]

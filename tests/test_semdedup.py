@@ -152,3 +152,60 @@ def test_semdedup_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     assert semdedup(empty, n_cells=4, tau=0.9).count() == 0
     assert kmeans_fit(empty, k=4, iters=1).count() == 0
+
+
+def test_degenerate_vectors_do_not_abort(spark, emb):
+    """Spark 4's default ANSI mode made one bad embedding job-fatal
+    (review findings): a zero-norm vector hit DIVIDE_BY_ZERO in every
+    cosine, and a ragged (short) vector hit INVALID_ARRAY_INDEX_IN_
+    ELEMENT_AT in the hyperplane expression. Both must degrade per-row:
+    NULL cosine (zero vector keeps: similarity is unjudgeable) and
+    bucket 0 (NULL-poisoned sign sum — the DuckDB twin's behavior)."""
+    from chinese_corpus_cleaning_spark.operators.similarity import (
+        cosine_topk,
+        duplicate_ratio_ann,
+        rp_lsh_buckets,
+    )
+
+    bad = spark.createDataFrame(
+        [
+            (9_000_001, [0.0] * 64),  # zero norm
+            (9_000_002, [1.0, 2.0]),  # ragged: 2 of 64 dims
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    dfin = emb.select("vec_id", "embedding").unionByName(bad)
+    # no job abort anywhere, every input id still gets a dup_ratio row
+    ratios = duplicate_ratio_ann(dfin).cache()
+    assert ratios.count() == dfin.count()
+    assert ratios.where("vec_id >= 9000000").count() == 2
+    ratios.unpersist()
+    # zero vector: NULL cosine everywhere -> never someone's neighbor rank 1..k
+    top = cosine_topk(dfin, k=3)
+    assert top.where("neighbor_id = 9000001").where(
+        "cos_sim is not null"
+    ).count() == 0
+    # ragged vector: sign sums NULL-poison -> deterministic bucket 0
+    b = {r["vec_id"]: r["bucket"] for r in rp_lsh_buckets(bad).collect()}
+    assert b[9_000_002] == 0
+    # semdedup keeps the zero vector (max_prior_cos NULL) and completes
+    sd = semdedup(dfin, n_cells=4, tau=0.5)
+    zrow = sd.where("vec_id = 9000001").collect()[0]
+    assert zrow["semdedup_keep"] is True
+
+
+def test_kmeans_fit_string_ids(spark):
+    """kmeans_fit must accept arbitrary id types like its siblings
+    (review finding: int(cid) crashed string-keyed corpora)."""
+    rows = [
+        (f"doc-{i:03d}", [float(i % 4 == j) * 10.0 + 0.1 * i for j in range(4)])
+        for i in range(24)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    cents = kmeans_fit(vecs, k=4, iters=2)
+    got = cents.collect()
+    assert len(got) == 4
+    assert {type(r["cid"]) for r in got} == {str}
+    # the trained table drives assign_cells/semdedup end-to-end
+    out = semdedup(vecs, tau=0.99, centroids=cents)
+    assert out.count() == 24
