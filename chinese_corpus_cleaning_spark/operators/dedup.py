@@ -256,9 +256,17 @@ def minhash_similarity_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_bucket: int | None = None,
+    precomputed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs with estimated Jaccard (fraction of agreeing minhash
-    slots) >= cfg.similarity_threshold. Returns (id_a, id_b, est_jaccard)."""
+    slots) >= cfg.similarity_threshold. Returns (id_a, id_b, est_jaccard).
+
+    ``precomputed``: an existing (id_col, minhash, band_keys) signature
+    frame COMPUTED WITH THE SAME cfg (e.g. fold_into_index's checkpointed
+    with_minhash output) — semi-join-restricted to ``docs``' ids and used
+    instead of re-running the shingle+perm-min signature stage, the
+    dominant map-side cost at corpus scale (review finding: fold's
+    internal pass used to re-sign every remaining doc)."""
     # eager localCheckpoint: three downstream branches scan the signatures;
     # without materialization the first job recomputes the signature stage
     # once per branch. localCheckpoint (not cache+count) because it (a) costs
@@ -268,9 +276,13 @@ def minhash_similarity_pairs(
     from pyspark.sql import Observation
 
     obs_sig = Observation("minhash_n_sigs")
+    sig_stage = (
+        precomputed.join(docs.select(id_col), id_col, "left_semi")
+        if precomputed is not None
+        else with_minhash(docs, cfg, id_col, text_col)
+    )
     signed = (
-        with_minhash(docs, cfg, id_col, text_col)
-        .observe(obs_sig, F.count(F.lit(1)).alias("n"))
+        sig_stage.observe(obs_sig, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # materialize the candidate pairs once: the est_jaccard join consumes
@@ -543,7 +555,8 @@ def fold_into_index(
         corpus_dup = None
         remaining = new_docs
     internal = dedup_representatives(
-        remaining, cfg, id_col, text_col, max_band_bucket
+        remaining, cfg, id_col, text_col, max_band_bucket,
+        precomputed=signed_new,
     )
     batch_labels = internal.select(
         "id",
@@ -577,8 +590,15 @@ def fold_into_index(
         F.col("id").alias(id_col)
     )
     appended = signed_new.join(survivors, id_col, "left_semi")
+    # unionByName, not positional union(): the index is documented as a
+    # persisted table reloaded between steps — a reload with a different
+    # column ORDER (both minhash and band_keys are array<bigint>, so a
+    # positional swap types fine) would silently corrupt every appended
+    # row and all future probes (review finding)
     new_index = (
-        appended if corpus_index is None else corpus_index.union(appended)
+        appended
+        if corpus_index is None
+        else corpus_index.unionByName(appended)
     )
     return labels, new_index
 
@@ -948,6 +968,7 @@ def dedup_edges(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_bucket: int | None = 64,
+    precomputed: DataFrame | None = None,
 ) -> DataFrame:
     """The duplicate-graph edge list feeding connected_components: exact
     edges (member -> md5-group representative) unioned with banded-LSH
@@ -976,8 +997,13 @@ def dedup_edges(
         .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
     )
     reps = groups.select(F.col("rep").alias("id"), "text")
+    signed_pre = (
+        precomputed.withColumnRenamed(id_col, "id")
+        if precomputed is not None and id_col != "id"
+        else precomputed
+    )
     near_edges = minhash_similarity_pairs(
-        reps, cfg, "id", "text", max_band_bucket
+        reps, cfg, "id", "text", max_band_bucket, precomputed=signed_pre
     ).select("id_a", "id_b")
     return near_edges.union(exact_edges)
 
@@ -988,6 +1014,7 @@ def dedup_representatives(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_bucket: int | None = 64,
+    precomputed: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup stage: (id, component, is_duplicate). Representative =
     min id per component (clustering.py:169-207 semantics re-expressed:
@@ -1015,7 +1042,7 @@ def dedup_representatives(
     sha2(·, 256) here if a zero-collision guarantee is ever required; the
     plan shape is unchanged."""
     comp = connected_components(
-        dedup_edges(docs, cfg, id_col, text_col, max_band_bucket)
+        dedup_edges(docs, cfg, id_col, text_col, max_band_bucket, precomputed)
     )
     return (
         docs.select(F.col(id_col).alias("id"))

@@ -49,8 +49,6 @@ from N/avgdl and can never match (dl > 0 defines the corpus).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -171,10 +169,11 @@ def bm25_topk_batch(
 
     ``queries`` maps query_id -> iterable of terms.  Corpus statistics
     (N, avgdl, df per distinct union term) are computed once via slim
-    exploded (id, term) rows restricted to the union vocabulary; idf is
-    resolved DRIVER-side from the collected (≤ |union terms|)-row df
-    table (math.log — same libm the JVM calls) and shipped back as a
-    broadcast (qid, term, idf, weight-denominator constants) table.
+    exploded (id, term) rows restricted to the union vocabulary; the
+    exact-integer df table collects driver-side (≤ |union terms| rows)
+    and ships back as a broadcast (qid, term, idf) table whose idf is
+    computed IN-PLAN with the same JVM ln and op order as the
+    single-query path — bit-equality by construction.
     Per-(qid, doc) scores sum decimal(18,6)-quantized contributions —
     exact, partitioning-independent (classifier-margin doctrine).
     """
@@ -223,19 +222,37 @@ def bm25_topk_batch(
         .groupBy(id_col, "__dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # localCheckpoint: tf feeds BOTH the driver-side df collect and the
+    # returned scored plan — without it the caller's action re-runs the
+    # whole corpus explode + hash-agg a second time (review finding)
+    tf = tf.localCheckpoint(eager=False)
     df_rows = {
         r["term"]: r["df"]
         for r in tf.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         .collect()
     }
-    qrows = []
-    for qid, ts in qterms.items():
-        for t in ts:
-            dfv = float(df_rows.get(t, 0))
-            idf = math.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
-            qrows.append((str(qid), t, idf))
-    qtab = spark.createDataFrame(qrows, "query_id string, term string, idf double")
+    # ship exact-integer df and compute idf with the SAME JVM ln and the
+    # SAME op order as bm25_topk's in-plan expression — the previous
+    # driver-side math.log meant single==batch bit-equality rested on
+    # CPython's libm agreeing with the JVM intrinsic at the 6-dp rounding
+    # knife edge (review finding)
+    qrows = [
+        (str(qid), t, float(df_rows.get(t, 0)))
+        for qid, ts in qterms.items()
+        for t in ts
+    ]
+    qtab = spark.createDataFrame(
+        qrows, "query_id string, term string, df double"
+    ).select(
+        "query_id",
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
 
     dec = f"decimal(18,{quantize})"
     tfd = F.col("tf").cast("double")

@@ -1080,9 +1080,15 @@ def c4_line_filter(
     before the split) so the $ terminal anchor sees the same line bytes on
     Spark and the RE2 oracle — see C4_TERMINAL_RE's comment.
     """
+    from .sampling import _NONWS_RUN_SPARK
+
     t = f"replace(coalesce({text_col}, ''), chr(13), '')"
     lines = f"split({t}, '\\n')"
-    length_rule = f"size(split(trim(l), ' ')) >= {min_words}"
+    # count words as runs of non-whitespace (full Python-\s class), not
+    # single-space split segments: 'Hi  there.' is 2 words not 3, and
+    # tab/U+3000-separated words split (CLAUDE.md word-count rule;
+    # review finding). Lines are already newline-free here.
+    length_rule = f"regexp_count(l, '{_NONWS_RUN_SPARK}') >= {min_words}"
     if min_chars is not None:
         length_rule = f"({length_rule} or length(trim(l)) >= {min_chars})"
     # C4 drops lines containing the WORD "javascript" (Raffel et al. 2020
@@ -1237,8 +1243,13 @@ def paragraph_dedup(
     """
     from .dedup import _h60_sql
 
-    sep_lit = F.lit(sep)
     arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    # localCheckpoint: TWO consumers scan this table (the winners
+    # aggregate and the drops join) — without it each scan re-executes
+    # the posexplode + two-md5 lineage AND everything upstream (composed
+    # in curation_run the boilerplate Arrow UDF would run once per scan;
+    # cross_doc_span_dup's doctrine, review finding). eager=False:
+    # materializes with the first action.
     slim = (
         docs.select(
             F.col(id_col).alias("__id"),
@@ -1254,6 +1265,7 @@ def paragraph_dedup(
             "__idx",
             F.expr(_h60_sql("__p")).alias("__ph"),
         )
+        .localCheckpoint(eager=False)
     )
     winners = slim.groupBy("__ph").agg(
         F.min(F.struct("__ord", "__id", "__idx")).alias("__w")

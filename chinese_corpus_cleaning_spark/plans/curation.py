@@ -56,6 +56,27 @@ from ..operators.textanalysis import (
 __all__ = ["curation_run"]
 
 
+def _shield_columns(df, reserved):
+    """Temporarily rename user columns that collide with an operator's
+    internal/output names (review finding: url_blocklist_filter and
+    domain_quality_filter withColumn('host', ...) CLOBBERED a user 'host'
+    stratum, which the post-stage drop then destroyed). Returns
+    (renamed_df, rename_map); _unshield restores. Pure projection — no
+    plan cost, and the operators' zero-shuffle doc side is untouched
+    (joining decisions back by id instead would shuffle a corpus-sized
+    flag table)."""
+    ren = {c: f"__user_{c}" for c in df.columns if c in reserved}
+    for a, b in ren.items():
+        df = df.withColumnRenamed(a, b)
+    return df, ren
+
+
+def _unshield_columns(df, ren):
+    for a, b in ren.items():
+        df = df.withColumnRenamed(b, a)
+    return df
+
+
 def curation_run(
     docs: DataFrame,
     trie_broadcast,
@@ -149,24 +170,29 @@ def curation_run(
     work = docs.observe(obs["input"], F.count(F.lit(1)).alias("n"))
     if blocklist is not None:
         obs["unblocked"] = Observation("curation_unblocked")
-        work = (
+        work, ren = _shield_columns(
+            work, ("host", "blocked_domain", "is_blocked")
+        )
+        work = _unshield_columns(
             url_blocklist_filter(work, blocklist, url_col=url_col, id_col=id_col)
             .where(~F.col("is_blocked"))
-            .drop("host", "blocked_domain", "is_blocked")
-            .observe(obs["unblocked"], F.count(F.lit(1)).alias("n"))
-        )
+            .drop("host", "blocked_domain", "is_blocked"),
+            ren,
+        ).observe(obs["unblocked"], F.count(F.lit(1)).alias("n"))
 
     # ---- stage 0.5 (opt-in): unicode canonicalization in place — width
     # fold native, NFC one Arrow pass; downstream hashing sees canonical
     # bytes. Changed-count observation rides the same pass.
     if normalize:
-        from ..functions.unicode_norm import fold_width_col, nfc_col
+        # normalize_text IS the gated operator (unicode_normalize row) —
+        # reusing it keeps the pipeline's normalization the exact bytes
+        # the oracle verifies (review finding: an inline fold+NFC copy
+        # could silently diverge from the canonical definition)
+        from ..functions.unicode_norm import normalize_text
 
         obs["normalized"] = Observation("curation_normalized")
         work = (
-            work.withColumn(
-                "__norm", nfc_col(fold_width_col(F.col(text_col)))
-            )
+            normalize_text(work, text_col, out_col="__norm")
             .observe(
                 obs["normalized"],
                 F.sum(
@@ -196,7 +222,10 @@ def curation_run(
     if domain_screen:
         scored = scored.localCheckpoint(eager=True)
         obs["domain_kept"] = Observation("curation_domain_kept")
-        scored = (
+        scored, ren = _shield_columns(
+            scored, ("host", "domain_n", "domain_bad", "domain_flagged")
+        )
+        scored = _unshield_columns(
             domain_quality_filter(
                 scored,
                 bad_expr="not keep",
@@ -206,9 +235,9 @@ def curation_run(
                 max_bad_pct=domain_max_bad_pct,
             )
             .where(~F.col("domain_flagged"))
-            .drop("host", "domain_n", "domain_bad", "domain_flagged", url_col)
-            .observe(obs["domain_kept"], F.count(F.lit(1)).alias("n"))
-        )
+            .drop("host", "domain_n", "domain_bad", "domain_flagged", url_col),
+            ren,
+        ).observe(obs["domain_kept"], F.count(F.lit(1)).alias("n"))
 
     kept = (
         with_pii(scored.where(F.col("keep")), "scrubbed_text")

@@ -1744,9 +1744,15 @@ from u left join m using (doc_id)"""
     # \b here is RE2's ASCII word boundary == the Spark side's explicit
     # ASCII lookarounds (the pii.py dialect-split doctrine): C4's rule
     # drops the WORD javascript, not the substring.
+    # word count = non-whitespace runs (full Python-\s class), the
+    # Spark twin's regexp_count(_NONWS_RUN_SPARK); RE2 gets PY_WS_CLASS
+    # as-is (standard strings)
+    from ..functions.spam import PY_WS_CLASS as _PYWS
+
+    _c4_word = "[^" + _PYWS[1:] + "+"
     c4_kept = (
         "list_filter(string_split(replace(t, chr(13), ''), chr(10)), l -> "
-        "len(string_split(trim(l), ' ')) >= 3 "
+        f"len(regexp_extract_all(l, '{_c4_word}')) >= 3 "
         "and regexp_matches(trim(l), '[.!?\"。！？”」]$') "
         "and not regexp_matches(lower(l), '\\bjavascript\\b'))"
     )

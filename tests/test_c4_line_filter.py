@@ -96,3 +96,21 @@ def test_c4_min_chars_cjk_adaptation(spark):
     # punct-less line still drop
     assert cjk["n_lines_kept"] == 3 and cjk["page_keep"]
     assert "短" not in cjk["clean_text"] and "没有标点" not in cjk["clean_text"]
+
+
+def test_c4_word_count_is_whitespace_run_based(spark):
+    """min_words counts runs of non-whitespace over the full Python-\\s
+    set (review finding: the old single-space split counted 'Hi  there.'
+    as 3 words via the empty middle segment, and merged tab-separated
+    words into one)."""
+    d = spark.createDataFrame(
+        [
+            (1, "Hi  there."),          # 2 words (double space) -> drop
+            (2, "foo\tbar\tbaz."),       # 3 tab-separated words -> keep
+            (3, "one two　three."),  # U+3000 separates -> 3 words
+            (4, "a  b  c  d."),          # 4 words despite double spaces
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_lines_kept"] for r in c4_line_filter(d).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 1}

@@ -439,3 +439,34 @@ def test_normalize_stage_composes(spark, corpus):
 
     # 40 and 41 normalize to identical text -> exactly one survives dedup
     assert len({40, 41} & set(rows)) == 1
+
+
+def test_user_host_stratum_survives_operator_stages(spark, corpus):
+    """Review finding: url_blocklist_filter and domain_quality_filter
+    withColumn('host', ...) CLOBBERED a same-named user column, and the
+    post-stage drop then destroyed it (AnalysisException at the strata
+    select). A user 'host' stratum must ride through both opt-in stages
+    intact."""
+    with_urls = corpus.withColumn(
+        "url", F.concat(F.lit("https://ok.example.net/y/"), F.col("doc_id"))
+    ).withColumn(
+        # a USER host column, deliberately different from the URL host
+        "host",
+        F.concat(F.lit("stratum-"), (F.col("doc_id") % 2).cast("string")),
+    )
+    bc = spark.sparkContext.broadcast(build_trie(SMALL_LEXICON))
+    curated, obs = curation_run(
+        with_urls,
+        bc,
+        strata=("host",),
+        k_per_stratum=30,
+        blocklist=["ads.example.com"],
+        domain_screen=True,
+        domain_min_docs=3,
+        domain_max_bad_pct=90,
+    )
+    rows = curated.collect()
+    assert rows, "pipeline produced no rows"
+    hosts = {r["host"] for r in rows}
+    # the user column's own values survive — not the URL-derived host
+    assert hosts <= {"stratum-0", "stratum-1"} and len(hosts) == 2

@@ -418,3 +418,48 @@ def test_fold_into_index_bootstrap_matches_representatives(spark):
         assert got[i]["dup_source"] == ("batch" if dup else None)
     idx_ids = {r["doc_id"] for r in index.select("doc_id").collect()}
     assert idx_ids == {i for i, (dup, _) in reps.items() if not dup}
+
+
+def test_precomputed_signatures_equal_recompute(spark):
+    """dedup_representatives(precomputed=with_minhash(docs)) must equal
+    the recompute path bit-for-bit (fold_into_index threads its
+    checkpointed signatures through the internal pass — review finding:
+    it used to re-sign every remaining doc), and fold's index append
+    must survive a REORDERED reloaded index (unionByName, not positional
+    union — minhash and band_keys are both array<bigint>, so a positional
+    swap would type-check and silently corrupt every probe)."""
+    from chinese_corpus_cleaning_spark.config import DedupConfig
+
+    cfg = DedupConfig(
+        similarity_threshold=0.5, shingle_size=5, num_hashes=16, num_bands=4
+    )
+    docs = gen.docs_df(spark, 240, partitions=4).select(
+        F.split("url", "/").getItem(4).cast("long").alias("doc_id"), "text"
+    )
+    signed = dedup.with_minhash(docs, cfg).localCheckpoint(eager=True)
+    base = sorted(
+        map(tuple, dedup.dedup_representatives(docs, cfg).collect())
+    )
+    pre = sorted(
+        map(
+            tuple,
+            dedup.dedup_representatives(
+                docs, cfg, precomputed=signed
+            ).collect(),
+        )
+    )
+    assert pre == base
+    # reordered index reload: same labels as the naturally-ordered index
+    b1 = docs.where("doc_id < 120")
+    b2 = docs.where("doc_id >= 120")
+    _, idx1 = dedup.fold_into_index(b1, None, cfg, max_band_bucket=None)
+    reordered = idx1.select("band_keys", "minhash", "doc_id")
+    l_nat, _ = dedup.fold_into_index(b2, idx1, cfg, max_band_bucket=None)
+    l_re, idx_re = dedup.fold_into_index(
+        b2, reordered, cfg, max_band_bucket=None
+    )
+    assert sorted(map(tuple, l_re.collect())) == sorted(
+        map(tuple, l_nat.collect())
+    )
+    # and the appended index is well-formed for a THIRD increment probe
+    assert idx_re.select("doc_id", "minhash", "band_keys").count() > 0
