@@ -142,6 +142,15 @@ def stratified_sample(
         raise ValueError("k must be >= 1")
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    reserved = {"sample_rank", "__h", "__salt", "__r"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"stratified_sample: input columns collide with the "
+            f"operator's output/internal names {sorted(clash)} — rename "
+            f"them first (a silent withColumn would clobber them; "
+            f"review finding)"
+        )
     strata = [F.col(c) for c in stratum_cols]
     h = F.expr(_h60_sql(f"cast({id_col} as string)"))
     base = (
@@ -228,11 +237,19 @@ def pack_sequences(
         raise ValueError("n_buckets must be a power of 2")
     shift = 60 - (n_buckets.bit_length() - 1)
     n_expr = token_count_expr or token_count_sql(text_col, token_count)
-    slim = docs.select(
-        F.col(id_col),
-        F.expr(n_expr).cast("long").alias("n_tokens"),
-        F.expr(_h60_sql(f"cast({id_col} as string)")).alias("__h"),
-    ).withColumn("__b", F.shiftright(F.col("__h"), shift))
+    # localCheckpoint: BOTH the within-bucket window and the bucket-total
+    # offsets scan this table — without it the token-count regexes + h60
+    # over the full text run twice per action (the repo's reused-input
+    # landmine; review finding). Lazy: materializes at first action.
+    slim = (
+        docs.select(
+            F.col(id_col),
+            F.expr(n_expr).cast("long").alias("n_tokens"),
+            F.expr(_h60_sql(f"cast({id_col} as string)")).alias("__h"),
+        )
+        .withColumn("__b", F.shiftright(F.col("__h"), shift))
+        .localCheckpoint(eager=False)
+    )
     w_in = (
         Window.partitionBy("__b")
         .orderBy("__h", id_col)
@@ -248,13 +265,21 @@ def pack_sequences(
         .select("__b", "__off")
     )
     cum = F.col("__off") + F.col("__wcum")
-    # div = bigint floor division (operands are non-negative by construction)
+    # div = bigint floor division. Zero-token docs (NULL/empty text) get
+    # the EMPTY span [shard_first, shard_first - 1 + (n>0)] collapsed to
+    # shard_last = shard_first: the old unconditional (cum - 1) div b
+    # emitted -1 for a leading empty doc and an inverted span at exact
+    # shard boundaries (review finding); with the case arm every operand
+    # is non-negative (n > 0 implies cum >= 1).
     return within.join(F.broadcast(offsets), "__b").select(
         id_col,
         "n_tokens",
         cum.alias("cum_tokens"),
         F.expr(f"(__off + __wcum - n_tokens) div {budget}").alias("shard_first"),
-        F.expr(f"(__off + __wcum - 1) div {budget}").alias("shard_last"),
+        F.expr(
+            f"case when n_tokens = 0 then (__off + __wcum) div {budget} "
+            f"else (__off + __wcum - 1) div {budget} end"
+        ).alias("shard_last"),
         ((cum - F.col("n_tokens")) % F.lit(budget)).alias("offset_in_shard"),
     )
 
@@ -357,12 +382,25 @@ def source_mix(
         raise ValueError("budget must be >= 0")
     if alpha not in _DYADIC_ALPHAS:
         _weight_sql("n", alpha)  # raises with the full message
+    reserved = {"mix_n", "mix_rate", "sampled"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"source_mix: input columns collide with the operator's "
+            f"output names {sorted(clash)} — rename them first (the "
+            f"output select would otherwise carry duplicate names; "
+            f"review finding)"
+        )
     counts = docs.groupBy(F.col(source_col).alias("__src")).agg(
         F.count(F.lit(1)).alias("__n")
     )
     w = _weight_sql("__n", alpha)
     weighted = counts.withColumn("__w", F.expr(w))
-    total = weighted.agg(F.sum("__w").alias("__sum_w"))  # bigint: order-free
+    # bigint total via a full-frame window over the TINY counts table
+    # (<= #sources rows): the previous separate agg + crossJoin embedded
+    # the corpus-count subtree twice in one plan, re-running the
+    # groupBy(source) scan per consumer (review finding); order-free sum
+    # of bigints either way
     # fixed-op-order double chain, mirrored verbatim in the DuckDB oracle
     rate = (
         f"least(cast(1.0 as double), (cast({budget} as double) * "
@@ -370,7 +408,9 @@ def source_mix(
         f"cast(__n as double)))"
     )
     rates = (
-        weighted.crossJoin(F.broadcast(total))
+        weighted.withColumn(
+            "__sum_w", F.sum("__w").over(Window.partitionBy())
+        )
         .withColumn("__p", F.expr(rate))
         .withColumn(
             "__thr",
@@ -432,6 +472,12 @@ def hash_split(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    clash = {"split", "__bucket"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"hash_split: input columns collide with the operator's "
+            f"output/internal names {sorted(clash)} — rename them first"
+        )
     labels = [l for l, _ in weights]
     if len(set(labels)) != len(labels):
         raise ValueError("duplicate split labels")

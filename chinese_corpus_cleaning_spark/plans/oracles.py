@@ -1801,7 +1801,8 @@ c as (
   from t)
 select doc_id::bigint as doc_id, n as n_tokens, cum::bigint as cum_tokens,
   ((cum - n) // 512)::bigint as shard_first,
-  ((cum - 1) // 512)::bigint as shard_last,
+  (case when n = 0 then cum // 512
+        else (cum - 1) // 512 end)::bigint as shard_last,
   ((cum - n) % 512)::bigint as offset_in_shard
 from c"""
 
@@ -1916,11 +1917,14 @@ d as (
     # same kept-line predicate as the c4_line_filter oracle (min_words=3,
     # RE2 \\b word rule), page flags on the INPUT text, min_lines_kept=1,
     # dropped lines folded into n_lines_removed
-    v2_c4 = """
+    from ..functions.spam import PY_WS_CLASS as _PYWS2
+
+    _v2_word = "[^" + _PYWS2[1:] + "+"
+    v2_c4 = f"""
 c4 as (
   select doc_id, source, lang, clean_text as ct, n_lines_removed,
     list_filter(string_split(replace(clean_text, chr(13), ''), chr(10)),
-      l -> len(string_split(trim(l), ' ')) >= 3
+      l -> len(regexp_extract_all(l, '{_v2_word}')) >= 3
         and regexp_matches(trim(l), '[.!?"。！？”」]$')
         and not regexp_matches(lower(l), '\\bjavascript\\b')) as kept
   from cleaned),
@@ -1932,7 +1936,7 @@ c4f as (
   from c4
   where len(kept) >= 1
     and not regexp_matches(lower(ct), 'lorem ipsum')
-    and not regexp_matches(ct, '[{]')),"""
+    and not regexp_matches(ct, '[{{]')),"""
 
     sql = f"""
 with recursive

@@ -63,6 +63,25 @@ def windowed_metrics(
     )
 
 
+def write_labels_batch(
+    batch_df: DataFrame, batch_id: int, output_dir: str
+) -> None:
+    """Idempotent labels sink for one microbatch: partition by batch_id
+    and DYNAMICALLY overwrite only this batch's partition — a microbatch
+    replayed after a crash between the parquet write and the checkpoint
+    commit rewrites its own partition instead of appending the whole
+    batch a second time (review finding: a plain append made the
+    module's exactly-once claim false). Module-level so the replay
+    semantics are directly testable."""
+    (
+        batch_df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{output_dir}/labels")
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,
@@ -77,11 +96,7 @@ def run_stream(
     labeled = labeled_stream(stream_from_directory(spark, input_dir), trie_bc, cfg)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{output_dir}/labels")
-        )
+        write_labels_batch(batch_df, batch_id, output_dir)
 
     labels_q = (
         labeled.writeStream.foreachBatch(write_batch)
@@ -135,8 +150,12 @@ def stateful_host_totals(stream: DataFrame) -> DataFrame:
             {"host": [key[0]], "n_docs": [n], "total_chars": [chars]}
         )
 
+    # try_parse_url: one malformed url in a microbatch must not
+    # terminate the whole StreamingQuery (CLAUDE.md crawl-facing rule;
+    # url_blocklist_filter/domain_quality_filter already do this) —
+    # malformed rows roll up under the NULL host
     hosted = stream.select(
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("host"),
         F.length("text").alias("n_chars"),
     )
     return hosted.groupBy("host").applyInPandasWithState(

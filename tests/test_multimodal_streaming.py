@@ -85,6 +85,16 @@ def test_streaming_pipeline_matches_batch(spark, tmp_path):
     assert sum(r["total"] for r in metrics) == 120
     assert sum(r["high_quality"] for r in metrics) == sum(1 for v in b.values() if v[0])
 
+    # exactly-once labels sink: REPLAYING a microbatch (crash between the
+    # parquet write and the checkpoint commit) rewrites its batch_id
+    # partition instead of appending duplicates (review finding: the old
+    # plain append doubled the batch on replay)
+    n_before = stream_labels.count()
+    replay_ids = [r["batch_id"] for r in stream_labels.select("batch_id").distinct().collect()]
+    replayed = with_quality(docs.select("url", "warc_ts", "text"), trie_bc)
+    stream_pipeline.write_labels_batch(replayed, int(replay_ids[0]), out_dir)
+    assert spark.read.parquet(f"{out_dir}/labels").count() == n_before
+
 
 def test_media_meta_prunes_other_columns(spark, tmp_path):
     """Metadata queries over a mixed table must not read unrelated columns."""

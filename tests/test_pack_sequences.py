@@ -134,3 +134,28 @@ def test_cjk_token_multiline_whitespace(spark):
         for r in pack_sequences(rows, budget=8, n_buckets=4).collect()
     }
     assert out == {1: 4, 2: 4, 3: 5, 4: 0, 5: 2, 6: 9}
+
+
+def test_zero_token_docs_get_empty_collapsed_span(spark):
+    """Zero-token docs (NULL/whitespace text) must not emit shard -1 or
+    an inverted [first, first-1] span (review finding): their span
+    collapses to shard_last == shard_first at the position the next
+    token would occupy, so an exporter slicing [first..last] inclusive
+    still visits each shard exactly once."""
+    rows = spark.createDataFrame(
+        [(1, None), (2, "一二三四五六七八"), (3, "   "), (4, "九十")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(rows, budget=4, n_buckets=4).collect()
+    }
+    for i in (1, 3):
+        r = out[i]
+        assert r["n_tokens"] == 0
+        assert r["shard_last"] == r["shard_first"] >= 0
+    for i in (2, 4):
+        r = out[i]
+        assert r["shard_last"] >= r["shard_first"] >= 0
+    # total order/coverage: max shard_last covers the 10 packed tokens
+    assert max(r["shard_last"] for r in out.values()) == (10 - 1) // 4
