@@ -271,7 +271,11 @@ class TextQualityFilter:
                         "w",
                         encoding="utf-8",
                     ) as f:
-                        json.dump({"error": r["error"]}, f, ensure_ascii=False)
+                        # indent=2 like every other results JSON (the
+                        # reference indents ALL result files; review finding)
+                        json.dump(
+                            {"error": r["error"]}, f, ensure_ascii=False, indent=2
+                        )
                     continue
                 if r["keep"]:
                     stats["high_quality"] += 1
@@ -330,6 +334,7 @@ class TextQualityFilter:
         os.makedirs(output_dir, exist_ok=True)
         df, files = self._read_dir(input_dir, file_pattern)
         stats = {"total": len(files), "processed": 0, "error": 0}
+        seen_names: set[str] = set()
         if files:
             spark = self._session()
             trie_bc = broadcast_trie(spark)
@@ -337,9 +342,26 @@ class TextQualityFilter:
             # stream results back batch-by-batch (driver memory O(batch))
             for r in scrubbed.toLocalIterator():
                 name = os.path.basename(r["path"])
+                seen_names.add(name)
                 with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
                     f.write(r["scrubbed"] if r["scrubbed"] is not None else "")
                 stats["processed"] += 1
+        # 0-byte files are dropped by Spark's wholetext reader; the
+        # reference reads "" and writes an EMPTY scrubbed file, counted
+        # processed (main.py:395-405) — compensate like batch_process
+        # does (review finding: these files silently vanished here)
+        for path in files:
+            name = os.path.basename(path)
+            if name in seen_names:
+                continue
+            with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
+                f.write("")
+            stats["processed"] += 1
+        # the reference ALWAYS writes filter_stats.json (main.py:410-413)
+        with open(
+            os.path.join(output_dir, "filter_stats.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(stats, f, ensure_ascii=False, indent=2)
         return stats
 
 
@@ -360,7 +382,29 @@ def train_models(args, spark=None) -> dict:
         df, files = tqf._read_dir(args.train_dir, args.file_pattern)
         model_path = os.path.join(args.train_dir, "_models", "ngram_lm")
         if files:
-            model = ngram_counts(df, n=3, min_count=getattr(args, "min_count", 1))
+            # pre-tokenize with functions/ngram_lm.tokenize (jieba when
+            # present, else the CJK-per-char regex fallback) and rejoin
+            # with spaces before the relational trainer: the trainer is
+            # whitespace-delimited by design, and raw Chinese .txt has no
+            # spaces — without this every DOCUMENT became one giant token
+            # and the written model scored everything at the smoothing
+            # floor (review finding; the reference's own trainer runs
+            # jieba over its corpus, SURVEY §2.9)
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            from .functions.ngram_lm import tokenize
+
+            _pretok = pandas_udf(
+                lambda texts: pd.Series(
+                    [" ".join(tokenize(t or "")) for t in texts]
+                ),
+                "string",
+            )
+            tokenized = df.withColumn("text", _pretok("text"))
+            model = ngram_counts(
+                tokenized, n=3, min_count=getattr(args, "min_count", 1)
+            )
             model.write.mode("overwrite").parquet(model_path)
             out["ngram_model"] = model_path
     if not getattr(args, "skip_clustering", False):

@@ -46,15 +46,26 @@ _MAGIC = {
     b"\xff\xd8\xff": ("jpeg", "image"),
     b"\x89PNG": ("png", "image"),
     b"GIF8": ("gif", "image"),
-    b"RIFF": ("riff", "audio"),
     b"OggS": ("ogg", "audio"),
     b"\x1aE\xdf\xa3": ("mkv", "video"),
+}
+
+# RIFF is a CONTAINER: the form type at bytes 8:12 says what it holds
+# (review finding: a flat RIFF->audio mapping sent WebP images and AVI
+# videos down the audio path). Unknown forms stay ('riff', 'unknown') —
+# fail open on kind, not misclassified.
+_RIFF_FORMS = {
+    b"WAVE": ("wav", "audio"),
+    b"WEBP": ("webp", "image"),
+    b"AVI ": ("avi", "video"),
 }
 
 
 def sniff_media(blob: bytes | None) -> tuple[str, str]:
     if not blob:
         return ("empty", "unknown")
+    if blob[:4] == b"RIFF":
+        return _RIFF_FORMS.get(blob[8:12], ("riff", "unknown"))
     for magic, kind in _MAGIC.items():
         if blob[: len(magic)] == magic:
             return kind

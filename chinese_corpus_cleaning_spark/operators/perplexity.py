@@ -14,9 +14,14 @@ Scoring, two interchangeable paths:
 Both reproduce the arithmetic of the reference's recovered NgramModel
 (SURVEY.md §2.9): P = (c+α)/(C+α|V|), ppl = 2^(−mean log2 P), log floor −100.
 
-Tokenization for the relational path is whitespace ``split`` (native); the
-UDF path uses functions/ngram_lm.tokenize (jieba when available). Use the
-relational path where the corpus is already token-delimited.
+Tokenization: BOTH paths are whitespace-delimited (the relational path
+splits natively, the UDF path splits with ``t.split(' ')`` so its lookups
+hit the same keys the relational trainer wrote). For raw Chinese text,
+pre-tokenize with functions/ngram_lm.tokenize (jieba when available,
+CJK-per-char fallback) and space-join BEFORE training/scoring — the CLI
+'train' path (api.train_models) does exactly this; feeding unsegmented
+text directly makes every document one giant token and scores everything
+at the smoothing floor.
 """
 
 from __future__ import annotations

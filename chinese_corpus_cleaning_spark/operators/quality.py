@@ -136,6 +136,17 @@ def with_quality(
     reference returns 0.0, main.py:222-224); keep = score >= threshold
     (main.py:207-209). Error docs get quality_score NULL and keep=false.
     """
+    reserved = (
+        {"q", "quality_score", "keep"}
+        | {f.name for f in QUALITY_SCHEMA.fields}
+    ) & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"with_quality: input columns collide with the operator's "
+            f"output names {sorted(reserved)} — rename them first "
+            f"(select('*','q.*') would emit duplicate columns and the "
+            f"next F.col reference would be ambiguous; review finding)"
+        )
     udf = make_quality_udf(trie_broadcast, cfg)
     df = df.withColumn("q", udf(F.col(text_col)))
     comps: list[tuple[Column, float]] = []

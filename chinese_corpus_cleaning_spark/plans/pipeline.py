@@ -57,16 +57,27 @@ def quality_filter_plan(
     trie_bc,
     cfg: PipelineConfig = DEFAULT,
     partitions: int | None = None,
+    skip_part_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The labels DataFrame. Column-prunes to (url, text) before the UDF
-    stage; repartitions on xxhash64(url) when ``partitions`` is given."""
+    stage; repartitions on xxhash64(url) when ``partitions`` is given.
+
+    ``skip_part_ids`` (resume): a (part_id) frame anti-joined away
+    BEFORE the quality UDF — part_id is stamped right after the
+    repartition, and the anti-join is a broadcast hash join (no
+    exchange), so completed partitions never reach the Arrow scoring
+    pass at all. The old shape filtered AFTER the UDF: Catalyst cannot
+    push a join below a non-deterministic spark_partition_id
+    projection, so a 90 %-complete resume re-paid ~90 % of the
+    dominant per-row cost and threw it away (review finding)."""
     slim = docs.select("url", "text")
     if partitions:
         slim = slim.repartition(partitions, F.xxhash64("url"))
+    slim = slim.withColumn("part_id", F.spark_partition_id())
+    if skip_part_ids is not None:
+        slim = slim.join(F.broadcast(skip_part_ids), "part_id", "left_anti")
     labeled = with_quality(slim, trie_bc, cfg)
-    return labeled.withColumn("part_id", F.spark_partition_id()).select(
-        *LABEL_COLUMNS
-    )
+    return labeled.select(*LABEL_COLUMNS)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -127,7 +138,6 @@ def run(
     partition is idempotent (dynamic overwrite).
     """
     trie_bc = broadcast_trie(spark)
-    labels = quality_filter_plan(docs, trie_bc, cfg, partitions)
 
     if output_dir.startswith("iceberg:"):
         base = output_dir[len("iceberg:") :]
@@ -137,17 +147,41 @@ def run(
         labels_path = f"{output_dir}/labels"
         lineage_path = f"{output_dir}/lineage"
 
+    done = None
     if resume:
         try:
+            prior = read_table(spark, lineage_path)
+        except Exception:
+            prior = None  # no lineage yet -> full run
+        if prior is not None:
+            # part_id is spark_partition_id(): it only identifies the
+            # same work across runs if the partitioning is the same. A
+            # resume with a different (or missing) --partitions would
+            # silently drop new documents whose part_id collides with a
+            # 'complete' id and double-count the rest (review finding) —
+            # refuse loudly instead.
+            if "n_partitions" in prior.columns:
+                recorded = [
+                    r["n_partitions"]
+                    for r in prior.select("n_partitions").distinct().collect()
+                ]
+                current = partitions or -1
+                if recorded and set(recorded) != {current}:
+                    raise ValueError(
+                        f"resume partitioning mismatch: lineage was "
+                        f"written with --partitions "
+                        f"{sorted(set(recorded))} but this run uses "
+                        f"{current} (-1 = input layout); part_id-keyed "
+                        f"resume is only valid under the identical "
+                        f"partitioning — rerun with the original value "
+                        f"or start fresh (resume=False)"
+                    )
             done = (
-                read_table(spark, lineage_path)
-                .where(F.col("status") == "complete")
+                prior.where(F.col("status") == "complete")
                 .select("part_id")
                 .distinct()
             )
-            labels = labels.join(F.broadcast(done), "part_id", "left_anti")
-        except Exception:
-            pass  # no lineage yet -> full run
+    labels = quality_filter_plan(docs, trie_bc, cfg, partitions, done)
 
     # run-level counters ride the same action via observe() (K3 rebuild:
     # stats.json of main.py:310-312 without a second pass); harvested from
@@ -190,6 +224,7 @@ def run(
             F.sum(F.col("error").isNotNull().cast("long")).alias("rows_error"),
         )
         .withColumn("status", F.lit("complete"))
+        .withColumn("n_partitions", F.lit(partitions or -1))
     )
     if lineage_path.startswith("iceberg:"):
         lineage.writeTo(lineage_path[len("iceberg:") :]).createOrReplace()

@@ -22,6 +22,9 @@ def media_df(spark):
         ("c", b"RIFF....WAVE" + b"z" * 100),
         ("d", None),
         ("e", b"plain bytes, no magic"),
+        ("f", b"RIFF....WEBP" + b"w" * 60),
+        ("g", b"RIFF....AVI " + b"v" * 60),
+        ("h", b"RIFF....????" + b"q" * 60),
     ]
     return spark.createDataFrame(rows, "media_id string, blob binary")
 
@@ -30,9 +33,14 @@ def test_media_meta(spark, media_df):
     out = {r["media_id"]: r for r in multimodal.media_meta(media_df, "media_id", "blob").collect()}
     assert out["a"]["magic"] == "jpeg" and out["a"]["media_kind"] == "image"
     assert out["b"]["magic"] == "png"
-    assert out["c"]["media_kind"] == "audio"
+    assert out["c"]["magic"] == "wav" and out["c"]["media_kind"] == "audio"
     assert out["d"]["n_bytes"] == 0 and out["d"]["magic"] == "empty"
     assert out["e"]["magic"] == "unknown"
+    # RIFF is a container — the form type decides the kind (review
+    # finding: flat RIFF->audio sent WebP/AVI down the audio path)
+    assert out["f"]["magic"] == "webp" and out["f"]["media_kind"] == "image"
+    assert out["g"]["magic"] == "avi" and out["g"]["media_kind"] == "video"
+    assert out["h"]["magic"] == "riff" and out["h"]["media_kind"] == "unknown"
     assert out["a"]["n_bytes"] == 504
 
 
@@ -267,7 +275,7 @@ def test_media_dims_spark(spark, media_df):
         r["media_id"]: r
         for r in multimodal.media_dims(media_df, "media_id", "blob").collect()
     }
-    assert len(junk) == 5
+    assert len(junk) == 8  # incl. the 3 RIFF-container fixture rows
     assert all(junk[k]["magic"] is None for k in ("c", "d", "e"))
     # 'a' is a truncated JPEG (APP0 length runs past the buffer) and 'b' a
     # truncated PNG signature — header kernel must return NULLs, not rows

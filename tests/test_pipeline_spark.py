@@ -147,6 +147,46 @@ def test_run_with_lineage_and_resume(spark, docs, tmp_path):
     stats2 = run(spark, docs, out, partitions=4, resume=True)
     assert stats2 == stats
 
+    # part_id-keyed resume is only valid under the SAME partitioning:
+    # a different (or omitted) --partitions must refuse loudly instead
+    # of silently dropping colliding part_ids (review finding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partitioning mismatch"):
+        run(spark, docs, out, partitions=8, resume=True)
+    with _pytest.raises(ValueError, match="partitioning mismatch"):
+        run(spark, docs, out, resume=True)
+
+
+def test_resume_skips_udf_for_complete_partitions(spark, docs, tmp_path):
+    """The completed-partition anti-join sits BELOW the quality UDF
+    (review finding: filtering after the UDF re-paid the dominant
+    scoring cost for every already-committed partition). Structural
+    assertion: in the resumed plan, the ArrowEvalPython (pandas UDF)
+    node's subtree CONTAINS the broadcast anti-join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from chinese_corpus_cleaning_spark.plans.pipeline import (
+        broadcast_trie,
+        quality_filter_plan,
+    )
+
+    done = spark.createDataFrame([(0,), (1,)], "part_id int")
+    plan_df = quality_filter_plan(
+        docs, broadcast_trie(spark), partitions=4, skip_part_ids=done
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    udf_pos = plan.find("ArrowEvalPython")
+    join_pos = plan.find("LeftAnti")
+    assert udf_pos > 0 and join_pos > 0
+    # formatted plans print leaves-last within the operator tree header:
+    # the UDF node appears ABOVE the anti-join it consumes
+    assert udf_pos < join_pos, plan[:2000]
+
 
 def test_run_reads_output_at_most_once(spark, docs, tmp_path, monkeypatch):
     """A fresh run() must be 1 write + 1 read-back: run-level stats ride the
