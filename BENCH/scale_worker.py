@@ -31,6 +31,7 @@ def main(cpus: int, n_docs: int) -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     entrymod._ensure_pyfiles(spark)

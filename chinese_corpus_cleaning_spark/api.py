@@ -188,6 +188,7 @@ class TextQualityFilter:
                 SparkSession.builder.master("local[*]")
                 .appName("ccc-api")
                 .config("spark.sql.shuffle.partitions", "32")
+                .config("spark.sql.session.timeZone", "UTC")
                 .getOrCreate()
             )
         return self._spark

@@ -71,6 +71,13 @@ def minhash_signature(shingles: list[str], num_hashes: int = 128) -> list[int]:
 def lsh_band_keys(sig: list[int], num_bands: int) -> list[int]:
     """Band keys: h60 of "band_idx|v1,v2,..." over each contiguous slice
     (portable: same string is hashed in Spark SQL / DuckDB / Python)."""
+    if len(sig) % num_bands:
+        raise ValueError(
+            f"num_hashes ({len(sig)}) must be divisible by num_bands "
+            f"({num_bands}): a remainder would silently DROP the trailing "
+            f"signature slots from every band key, flattening the LSH "
+            f"recall curve (review finding)"
+        )
     rows = len(sig) // num_bands
     return [
         h60(f"{b}|" + ",".join(str(v) for v in sig[b * rows : (b + 1) * rows]))

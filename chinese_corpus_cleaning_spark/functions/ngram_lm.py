@@ -81,9 +81,16 @@ class NgramModel:
 
     def perplexity(self, text: str) -> float:
         tokens = tokenize(text)
-        grams = ngrams(tokens, self.n)
-        if not grams:
+        # empty -> inf per the recovered reference spec (SURVEY.md §2.9
+        # "empty → inf"): the check must be on TOKENS — ngrams() pads
+        # with <s>/<//s> so grams is never empty and the old
+        # `if not grams` guard was unreachable, letting token-less text
+        # score a low FINITE ppl that could pass the gate (review
+        # finding). The distributed whitespace-delimited paths keep
+        # their own ''-is-one-empty-token semantics (gate-pinned).
+        if not tokens:
             return math.inf
+        grams = ngrams(tokens, self.n)
         total = 0.0
         for ctx, w in grams:
             p = self.prob(ctx, w)

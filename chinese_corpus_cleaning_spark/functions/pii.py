@@ -58,7 +58,14 @@ import re
 
 FULLWIDTH_DIGITS = "０１２３４５６７８９"
 ASCII_DIGITS = "0123456789"
-_FOLD_TABLE = str.maketrans(FULLWIDTH_DIGITS, ASCII_DIGITS)
+# The fold also covers full-width Ｘ/ｘ: a resident ID's check character
+# is X in real full-width Chinese text (and lowercase ｘ after the DFA
+# scrub's lowercasing), and the ID pattern's [0-9Xx] tail would
+# otherwise never match — the ID leaked UNMASKED through all three
+# engines (review finding; tests/test_pii.py pins the fixture).
+PII_FOLD_SRC = FULLWIDTH_DIGITS + "Ｘｘ"
+PII_FOLD_DST = ASCII_DIGITS + "Xx"
+_FOLD_TABLE = str.maketrans(PII_FOLD_SRC, PII_FOLD_DST)
 
 # RFC 3986 chars minus quote/comma/semicolon/brackets/parens (prose
 # punctuation far more often ends a URL mention than belongs to one);
@@ -159,13 +166,14 @@ def mask_pii(text: str | None) -> tuple[str | None, list[str], dict[str, int]]:
 
 def pii_columns(text_col):
     """dict of native Columns implementing exactly mask_pii over ``text_col``
-    (a name or Column): keys pii_text, pii_reasons, n_phone, n_id_number,
-    n_url. Pure map-side projection — no UDF, no shuffle; regexes ride as
+    (a name or Column): keys pii_text, pii_reasons, and one n_<reason>
+    count per REASON_ORDER entry (n_phone, n_id_number, n_email, n_url,
+    n_ip). Pure map-side projection — no UDF, no shuffle; regexes ride as
     literals (SQL string literals eat backslashes — CLAUDE.md landmine)."""
     from pyspark.sql import functions as F
 
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.translate(col, FULLWIDTH_DIGITS, ASCII_DIGITS)
+    t = F.translate(col, PII_FOLD_SRC, PII_FOLD_DST)
     counts = {}
     for reason, pat, tok in pii_rules("java"):
         counts[reason] = F.coalesce(
@@ -186,7 +194,7 @@ def pii_sql_chain(expr: str) -> dict[str, str]:
     """The identical chain as DuckDB SQL snippets over ``expr`` (RE2 needs
     the 'g' flag — DuckDB's regexp_replace is first-match-only by default,
     Spark's is global). Keys mirror pii_columns; used by plans/oracles.py."""
-    t = f"translate({expr}, '{FULLWIDTH_DIGITS}', '{ASCII_DIGITS}')"
+    t = f"translate({expr}, '{PII_FOLD_SRC}', '{PII_FOLD_DST}')"
     out = {}
     for reason, pat, tok in PII_RULES:
         esc = pat.replace("'", "''")

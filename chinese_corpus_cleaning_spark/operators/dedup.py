@@ -98,6 +98,12 @@ def with_minhash(
     from ..functions.hashing import MINHASH_P, minhash_params
 
     params = minhash_params(cfg.num_hashes)
+    if cfg.num_hashes % cfg.num_bands:
+        raise ValueError(
+            f"num_hashes ({cfg.num_hashes}) must be divisible by "
+            f"num_bands ({cfg.num_bands}) — a remainder silently drops "
+            f"the trailing minhash slots from the band keys"
+        )
     rows = cfg.num_hashes // cfg.num_bands
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     B = np.array([b for _, b in params], dtype=np.int64)[:, None]

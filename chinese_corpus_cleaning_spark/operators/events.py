@@ -27,7 +27,12 @@ def sessionize(events: DataFrame) -> DataFrame:
     distribution key; skewed power-users split via AQE."""
     w = Window.partitionBy("user_id").orderBy("ts")
     # interval arithmetic: timezone-free (works for TIMESTAMP_NTZ), exact,
-    # and identical in the DuckDB oracle
+    # and identical in the DuckDB oracle. NOTE: the fixture parquet stores
+    # naive micros that Spark reads as TIMESTAMP_LTZ, so session rendering
+    # (and date_trunc bucketing downstream) matches DuckDB's naive values
+    # only under spark.sql.session.timeZone=UTC — pinned in every
+    # repo-controlled session builder (conftest/bench/scale_worker/api);
+    # a non-UTC driver session shifts hours vs the oracle (review finding)
     prev = F.lag("ts").over(w)
     gap_over = F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MINUTES} MINUTES")
     sess = (
@@ -65,8 +70,11 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
 
 
 def topk_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
-    """Top-k users per event_type by summed value (dense ranking, id
-    tie-break): (event_type, user_id, total_value, rank)."""
+    """Top-k users per event_type by summed value: (event_type, user_id,
+    total_value, rank). rank is row_number over the TOTAL order
+    (total_value desc, user_id asc) — the id tie-break makes it
+    deterministic; a variant without the tie-break would need
+    dense_rank to avoid nondeterministic truncation of value ties."""
     per_user = events.groupBy("event_type", "user_id").agg(
         F.sum("value").alias("total_value")
     )

@@ -25,6 +25,15 @@ from ..functions.cleaning import (
 )
 from ..functions import langid as _langid
 
+# Portable regex classes shared VERBATIM with the extract_is_zh DuckDB
+# oracle (plans/oracles.py imports these — the repo convention: twins are
+# built from ONE constant so the engines cannot drift; review finding:
+# these were hand-duplicated string literals in both files). \x{..}
+# syntax is valid in Java regex AND RE2.
+CTRL_CLASS_PORTABLE = "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}]"
+CJK_CLASS_PORTABLE = "[\\x{4e00}-\\x{9fff}]"
+
+
 LANG_SCHEMA = StructType(
     [
         StructField("lang_pred", StringType()),
@@ -122,7 +131,7 @@ def is_zh_relational(
 
     raw = F.col(text_col)
     # clean_text (tool.py:8-14): \s+ -> ' ' (Python-re \s set), control strip
-    ctrl = "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}]"
+    ctrl = CTRL_CLASS_PORTABLE
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(raw, F.lit(PY_WS_CLASS + "+"), F.lit(" ")),
@@ -149,7 +158,7 @@ def is_zh_relational(
     n = F.length(F.col("__cleaned__"))
     cjk = n - F.length(
         F.regexp_replace(
-            F.col("__cleaned__"), F.lit("[\\x{4e00}-\\x{9fff}]"), F.lit("")
+            F.col("__cleaned__"), F.lit(CJK_CLASS_PORTABLE), F.lit("")
         )
     )
     zh_score = cjk.cast("double") / n.cast("double")
@@ -199,6 +208,15 @@ def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
     per doc (expected ~0 on real corpora; auditable at scale)."""
     # temp struct columns use collision-proof names: withColumn silently
     # REPLACES an existing column, so a plain "r"/"l" would destroy user data
+    # ... and the EXPANDED output names must not collide either:
+    # select('*', struct.*) DUPLICATES same-named input columns (ambiguous
+    # references downstream, review finding) — raise instead
+    out_names = {"lang_pred", "lang_conf", "is_zh"} & set(df.columns)
+    if out_names:
+        raise ValueError(
+            f"with_extraction: input columns collide with the operator's "
+            f"output names {sorted(out_names)} — rename or drop them first"
+        )
     rcol, lcol = "__repeats_struct", "__langid_struct"
     return (
         df.withColumn(rcol, remove_repeats_ex(extract_text(F.col(html_col))))

@@ -212,7 +212,7 @@ def detect_udf(trie_broadcast):
 
 
 def with_pii(df: DataFrame, text_col: str = "scrubbed_text") -> DataFrame:
-    """Append PII-masking columns (pii_text, pii_reasons, n_phone,
+    """Append PII-masking columns (pii_text, pii_reasons, n_phone, n_email, n_ip,
     n_id_number, n_url) computed over ``text_col`` — the north-star
     "regex-based PII scrub (phone, ID-number, URL)" the reference's fixtures
     imply (test_filter.py:104,117 plant 13917340054 / www.example.com) but
@@ -229,7 +229,7 @@ def with_pii(df: DataFrame, text_col: str = "scrubbed_text") -> DataFrame:
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Standalone PII scrub: (id, pii_text, pii_reasons, n_phone,
+    """Standalone PII scrub: (id, pii_text, pii_reasons, n_phone, n_email, n_ip,
     n_id_number, n_url). See with_pii / functions/pii.py for semantics and
     the three-engine portability contract."""
     from ..functions.pii import pii_columns

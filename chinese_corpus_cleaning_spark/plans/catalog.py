@@ -1356,7 +1356,9 @@ _PII_ID_EXPR = (
     " || '0' || cast(1 + doc_id % 9 as string)"
     " || '1' || cast(doc_id % 10 as string)"
     " || lpad(cast(doc_id % 1000 as string), 3, '0')"
-    " || case when doc_id % 2 = 0 then 'X' else '7' end"
+    # full-width Ｘ on even ids: exercises the PII fold's X arm (a real
+    # full-width ID writes its check char full-width too; review finding)
+    " || case when doc_id % 2 = 0 then 'Ｘ' else '7' end"
 )
 _PII_DECOR = (
     "text || case when doc_id % 7 = 0 then"

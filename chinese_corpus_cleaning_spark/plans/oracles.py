@@ -726,7 +726,9 @@ with u as (
 w as (select distinct trim(value) as word from u where trim(value) <> '')
 select word, row_number() over (order by word) as rank from w"""
 
-    ctrl = r"[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}]"
+    from ..operators.extract import CJK_CLASS_PORTABLE, CTRL_CLASS_PORTABLE
+
+    ctrl = CTRL_CLASS_PORTABLE
     score_cols = []
     for lang in LANGS:
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -760,7 +762,7 @@ c as (
 m as (
   select doc_id, raw, cleaned,
     (length(cleaned) - length(regexp_replace(cleaned,
-       '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')))::double
+       '{CJK_CLASS_PORTABLE}', '', 'g')))::double
       / length(cleaned)::double as zh_score,
     string_split(lower(cleaned), ' ') as toks
   from c),

@@ -22,7 +22,18 @@ def ensure_pyfiles(spark) -> str:
         for f in files
         if f.endswith(".py")
     ]
-    stamp = max(int(os.path.getmtime(f)) for f in sources)
+    # digest of the full (relpath, mtime_ns, size) SET: max(int(mtime))
+    # missed sub-second edits (stale code shipped to executors in an
+    # edit-run loop) and file deletions entirely (review finding)
+    import hashlib
+
+    h = hashlib.md5()
+    for f in sorted(sources):
+        st = os.stat(f)
+        h.update(
+            f"{os.path.relpath(f, _PKG_DIR)}|{st.st_mtime_ns}|{st.st_size};".encode()
+        )
+    stamp = h.hexdigest()[:16]
     zip_path = os.path.join("/tmp", f"chinese_corpus_cleaning_spark_{stamp}.zip")
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:

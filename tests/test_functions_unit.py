@@ -110,7 +110,11 @@ def test_ngram_model_arithmetic():
         -sum(math.log2(m.prob(c, w)) for c, w in grams) / len(grams)
     )
     assert ppl == manual
-    assert m.perplexity("") != float("inf")  # "" -> [] tokens -> ["</s>"] gram
+    # empty -> inf per the recovered reference spec (SURVEY.md §2.9
+    # "empty → inf"); the padded ["</s>"] gram must NOT score (the old
+    # finite pin here contradicted the spec — review finding)
+    assert m.perplexity("") == float("inf")
+    assert m.perplexity("   ") == float("inf")  # tokenless whitespace too
 
 
 def test_perplexity_score_bands():

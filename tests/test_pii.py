@@ -197,3 +197,37 @@ def test_pii_null_and_empty(spark):
     assert out[1]["pii_text"] is None and list(out[1]["pii_reasons"]) == []
     assert out[1]["n_phone"] == 0 and out[1]["n_url"] == 0
     assert out[2]["pii_text"] == "" and list(out[2]["pii_reasons"]) == []
+
+
+def test_fullwidth_check_char_folds(spark):
+    """A resident ID written entirely full-width — including the Ｘ/ｘ
+    check character — must fold and mask in all three engines (review
+    finding: the fold covered digits only, so the [0-9Xx] tail never
+    matched and the ID leaked unmasked)."""
+    import duckdb
+
+    from chinese_corpus_cleaning_spark.functions.pii import (
+        mask_pii,
+        pii_columns,
+        pii_sql_chain,
+    )
+
+    fw_digits = str.maketrans("0123456789", "０１２３４５６７８９")
+    base = "11010119900101123"
+    for check in ("Ｘ", "ｘ"):
+        text = "身份证" + base.translate(fw_digits) + check + "。"
+        masked, reasons, _counts = mask_pii(text)
+        assert "id_number" in reasons, text
+        assert base not in masked and check not in masked
+        # Spark twin
+        df = spark.createDataFrame([(text,)], "text string")
+        row = df.select(
+            *(v.alias(k) for k, v in pii_columns("text").items())
+        ).collect()[0]
+        assert row["n_id_number"] == 1 and row["pii_text"] == masked
+        # DuckDB twin
+        chain = pii_sql_chain("t")
+        got = duckdb.sql(
+            f"select {chain['pii_text']} as p from (select '{text}' as t)"
+        ).fetchone()[0]
+        assert got == masked
