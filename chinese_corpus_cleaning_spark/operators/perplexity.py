@@ -36,15 +36,40 @@ from ..functions.ngram_lm import BOS, EOS, LOG_FLOOR, NgramModel, perplexity_sco
 _SEP = "\x1f"  # context-token joiner inside the flat model table
 
 
-def _ngram_expr(text_col: str, n: int) -> str:
-    """Native expr producing array<struct<context:string, word:string>> over
-    whitespace tokens padded with <s>/<\\s> (ngram_lm.ngrams semantics)."""
+def _padded_tokens_expr(text_col: str, n: int) -> str:
+    """Native expr for the padded whitespace token array
+    (<s>*(n-1) ++ split(text) ++ <\\s> — ngram_lm.ngrams semantics)."""
     pads = ", ".join([f"'{BOS}'"] * (n - 1))
-    toks = (
+    return (
         f"concat(array({pads}), split({text_col}, ' '), array('{EOS}'))"
         if n > 1
         else f"concat(split({text_col}, ' '), array('{EOS}'))"
     )
+
+
+def _ngrams_over_tokens_expr(toks_col: str, n: int) -> str:
+    """array<struct<context:string, word:string>> over an ALREADY-MATERIALIZED
+    padded token array column.
+
+    ``toks_col`` MUST be a plain column reference, never the padding
+    expression spliced inline: transform/slice/element_at are interpreted
+    (CodegenFallback), and an inline sub-expression inside the lambda body
+    is re-evaluated PER ELEMENT — the concat+split would run once per
+    n-gram, making the explode O(tokens^2) per document (measured 8x on the
+    sf0.1 trigram explode, round-8 notes). Against a column reference the
+    array is built once per row and each lambda step is O(n)."""
+    return (
+        f"transform(sequence({n}, size({toks_col})), "
+        f"i -> struct(array_join(slice({toks_col}, i - {n - 1}, {n - 1}), '{_SEP}') as context, "
+        f"element_at({toks_col}, i) as word))"
+    )
+
+
+def _ngram_expr(text_col: str, n: int) -> str:
+    """One-expression form (kept for external callers); prefer projecting
+    ``_padded_tokens_expr`` to a column first — see _ngrams_over_tokens_expr
+    for why the inline splice is quadratic."""
+    toks = _padded_tokens_expr(text_col, n)
     return (
         f"transform(sequence({n}, size({toks})), "
         f"i -> struct(array_join(slice({toks}, i - {n - 1}, {n - 1}), '{_SEP}') as context, "
@@ -66,7 +91,8 @@ def ngram_counts(
     smoothing treats pruned pairs as unseen — the standard count-cutoff LM
     approximation."""
     counts = (
-        docs.select(F.explode(F.expr(_ngram_expr(text_col, n))).alias("g"))
+        docs.select(F.expr(_padded_tokens_expr(text_col, n)).alias("__toks"))
+        .select(F.explode(F.expr(_ngrams_over_tokens_expr("__toks", n))).alias("g"))
         .select("g.context", "g.word")
         .groupBy("context", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -108,9 +134,17 @@ def perplexity_relational(
     if broadcast_model:
         model = F.broadcast(model)
         ctx_tot = F.broadcast(ctx_tot)
-    grams = docs.select(
-        F.col(id_col), F.explode(F.expr(_ngram_expr(text_col, n))).alias("g")
-    ).select(id_col, "g.context", "g.word")
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.expr(_padded_tokens_expr(text_col, n)).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(_ngrams_over_tokens_expr("__toks", n))).alias("g"),
+        )
+        .select(id_col, "g.context", "g.word")
+    )
     joined = grams.join(model, ["context", "word"], "left").join(
         ctx_tot, ["context"], "left"
     )

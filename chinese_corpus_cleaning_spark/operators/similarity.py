@@ -23,11 +23,46 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60
 
 
-def _dot(a: str, b: str) -> str:
+# Every embedding fixture/gate in this engine is 64-dimensional; the unrolled
+# fast path below is guarded on exactly this length and falls back to the
+# general higher-order fold for anything else, so the constant is a physical
+# optimization knob, not a semantic limit.
+_UNROLL_DIM = 64
+
+
+def _dot_hof(a: str, b: str) -> str:
     # sequential fold => deterministic summation order (oracle parity)
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _dot(a: str, b: str, dim: int = _UNROLL_DIM) -> str:
+    """Dot product with an UNROLLED whole-stage-codegen fast path.
+
+    Spark higher-order lambdas (aggregate/zip_with) are CodegenFallback —
+    evaluated interpreted per element with closure allocation per row
+    (CLAUDE.md landmine; measured 2.2x on the 200x2000 cosine pair scan,
+    round-8 notes). When both arrays have exactly ``dim`` elements the
+    unrolled sum ``(((0.0 + p1) + p2) + ...)`` is the SAME left-associated
+    IEEE addition chain over the SAME float->double casts the fold performs
+    — bit-identical output (pinned by tests/test_similarity_unroll.py) —
+    but it compiles into whole-stage codegen. Any other shape (NULL array,
+    ragged/truncated vector, future non-64-dim corpus) takes the original
+    fold, so semantics are unchanged everywhere. element_at is ANSI-safe
+    here because the size guard proves every index is in range."""
+    hof = _dot_hof(a, b)
+    if not dim:
+        return hof
+    terms = "".join(
+        f" + (cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({b}, {i}) as double))"
+        for i in range(1, dim + 1)
+    )
+    return (
+        f"(case when size({a}) = {dim} and size({b}) = {dim} "
+        f"then (cast(0.0 as double){terms}) else {hof} end)"
     )
 
 
@@ -328,25 +363,45 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment by squared L2 (argmin, centroid-id
     tie-break) against a broadcast ``(cid, c)`` centroid table. Returns
-    (id_col, cell). Map-side except the per-id argmin window, whose
-    partitions are exactly k rows each."""
-    from pyspark.sql.window import Window
+    (id_col, cell).
 
-    dist = (
+    The argmin is ``min(struct(d2, cid))`` — a HASH AGGREGATE with map-side
+    partials, not a row_number window: the window form sorts the full
+    n*k pair stream inside one shuffle (round-8 guide §2.4 — an aggregate
+    keyed the same way needs no sort and partially combines map-side, so
+    only ~n rows reach the reducer). Equivalence incl. NULL d2 is exact:
+    struct comparison orders NULL fields first, identical to the window's
+    ``orderBy(d2.asc)`` NULLS FIRST (pinned by tests/test_similarity_unroll
+    .py::test_assign_cells_argmin_matches_window).
+
+    The distance expression is unrolled to a whole-stage-codegen sum when
+    both arrays are exactly ``_UNROLL_DIM`` long (same doctrine and
+    bit-identity argument as :func:`_dot`); other shapes take the original
+    interpreted fold."""
+    dim = _UNROLL_DIM
+    dist_hof = (
         "aggregate(zip_with(v, c, (x, y) -> (cast(x as double) - cast(y as double))"
         " * (cast(x as double) - cast(y as double))), cast(0.0 as double),"
         " (acc, d) -> acc + d)"
+    )
+    sq_terms = "".join(
+        f" + ((cast(element_at(v, {i}) as double) - cast(element_at(c, {i}) as double))"
+        f" * (cast(element_at(v, {i}) as double) - cast(element_at(c, {i}) as double)))"
+        for i in range(1, dim + 1)
+    )
+    dist = (
+        f"(case when size(v) = {dim} and size(c) = {dim} "
+        f"then (cast(0.0 as double){sq_terms}) else {dist_hof} end)"
     )
     pairs = (
         vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(centroids))
         .withColumn("d2", F.expr(dist))
     )
-    w2 = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
-        pairs.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cid").alias("cell"))
+        pairs.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("__am"))
+        .select(F.col(id_col), F.col("__am.cid").alias("cell"))
     )
 
 
