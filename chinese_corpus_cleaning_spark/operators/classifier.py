@@ -129,14 +129,28 @@ def nb_logodds_weights(
     iteration: the multinomial-NB decision rule IS a linear model over
     counts (Wang & Manning 2012), so these weights plug directly into
     :func:`classifier_score`. Buckets never seen in training are absent
-    (scored as 0 by the left join). Returns (bucket, w)."""
+    (scored as 0 by the left join). Returns (bucket, w).
+
+    Physical shape (round 8): the label rides the gram explode, so the
+    whole training pass is ONE hash aggregation keyed on bucket — the
+    previous form materialized the per-doc (id, bucket, cnt) table
+    (an extra corpus-sized shuffle) and joined the labels back on id (an
+    extra join) just to re-derive the same per-class occurrence totals.
+    c1/c0 are integer occurrence counts either way, so the weights are
+    bit-identical (oracle-parity-pinned)."""
     y = F.col(label_col).cast("boolean")
-    feats = hash_ngram_features(labeled, n, n_buckets, id_col, text_col).join(
-        labeled.select(F.col(id_col).alias("id"), y.alias("__y")), "id"
+    grams = labeled.select(
+        y.alias("__y"),
+        F.explode(F.expr(_gram_expr(text_col, n))).alias("gram"),
+    ).select(
+        "__y",
+        F.pmod(F.expr(_h60_sql("gram")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
     )
-    per = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__y"), F.col("cnt")).otherwise(0)).alias("c1"),
-        F.sum(F.when(~F.col("__y"), F.col("cnt")).otherwise(0)).alias("c0"),
+    per = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__y"), F.lit(1)).otherwise(0).cast("bigint")).alias("c1"),
+        F.sum(F.when(~F.col("__y"), F.lit(1)).otherwise(0).cast("bigint")).alias("c0"),
     )
     tot = per.agg(
         F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
@@ -310,8 +324,9 @@ def classifier_score(
     at 100k docs local[8], min-of-3: pandas 3.04 s vs relational-decimal
     6.23 s — 2.05x, and the pandas path crosses ZERO shuffles):
 
-    * ``"relational"`` (default) — explode -> partial agg -> broadcast
-      weight join -> slim groupBy(id). Exact decimal margins, fully
+    * ``"relational"`` (default) — explode -> broadcast weight join ->
+      slim groupBy(id) (one shuffle; map-side partials collapse to one
+      row per doc per partition). Exact decimal margins, fully
       SQL-expressible: the driver-gate/oracle form. Default because the
       cross-engine-exact path must be what the gated catalog query runs.
     * ``"pandas"`` — the 100 TB production path: weights collapse to one
@@ -341,7 +356,24 @@ def classifier_score(
         )
     if method != "relational":
         raise ValueError(f"unknown method: {method!r}")
-    feats = hash_ngram_features(docs, n, n_buckets, id_col, text_col)
+    # Round-8 physical shape: gram occurrences broadcast-join the weight
+    # table directly and sum per id — ONE shuffle whose map-side partials
+    # collapse to one row per doc per partition. The previous form first
+    # aggregated the (id, bucket, cnt) feature table (an extra corpus-wide
+    # shuffle keyed on (id, bucket)) and then summed cnt * w; decimal
+    # addition is exact and order-free, so sum-over-occurrences of w equals
+    # sum-over-buckets of cnt * w to the last digit (oracle-parity-pinned;
+    # for quantize=None the float margin was already shuffle-order-
+    # dependent, unchanged by this).
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(_gram_expr(text_col, n))).alias("gram"),
+    ).select(
+        "id",
+        F.pmod(F.expr(_h60_sql("gram")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
     if quantize is not None:
         wcol = F.round(F.col("w"), quantize).cast(f"decimal(18,{quantize})")
         zero = F.lit(0).cast(f"decimal(18,{quantize})")
@@ -354,9 +386,9 @@ def classifier_score(
         bias_term = F.lit(float(bias))
     wq = weights.select("bucket", wcol.alias("__wq"))
     margins = (
-        feats.join(F.broadcast(wq), "bucket", "left")
+        grams.join(F.broadcast(wq), "bucket", "left")
         .groupBy("id")
-        .agg(F.sum(F.col("cnt") * F.coalesce(F.col("__wq"), zero)).alias("__m"))
+        .agg(F.sum(F.coalesce(F.col("__wq"), zero)).alias("__m"))
     )
     margin = F.coalesce(F.col("__m"), zero) + bias_term
     return margins.select(

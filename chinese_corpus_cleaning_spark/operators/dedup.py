@@ -35,6 +35,14 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..config import DedupConfig
 
+# Broadcast budget for the est-Jaccard signature re-attach (see
+# minhash_similarity_pairs): each signature row is ~num_hashes * 8 B, so
+# 64 MB admits ~65k rows at the production 128-hash config — far below the
+# guide's few-hundred-MB broadcast comfort zone, and corpus-scale signature
+# tables blow the bound and take the shuffled joins as before. Module-level
+# so the A/B bench (BENCH/estjac_bcast_ab.py) can toggle it.
+_SIG_BCAST_BUDGET_BYTES = 64 << 20
+
 # ---------------------------------------------------------------- exact dedup
 
 
@@ -314,6 +322,7 @@ def minhash_similarity_pairs(
     n_sigs = obs_sig.get["n"]
     n_pairs = obs_pairs.get["n"]
     sig_src = signed
+    sig_rows = n_sigs
     if n_sigs > 0 and 2 * n_pairs < 0.5 * n_sigs:
         cand_ids = (
             pairs.select(F.col("id_a").alias(id_col))
@@ -321,8 +330,24 @@ def minhash_similarity_pairs(
             .distinct()
         )
         sig_src = signed.join(cand_ids, id_col, "leftsemi")
+        sig_rows = min(n_sigs, 2 * n_pairs)
     sig_a = sig_src.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
     sig_b = sig_src.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
+    # Size-adaptive join strategy (guide §3.1 doctrine, decided from the SAME
+    # free observe() row counts as the prune above): each signature row is
+    # ~num_hashes * 8 B, so when the (pruned) signature table is provably
+    # under a conservative broadcast budget, shipping it to every executor
+    # makes BOTH re-attach joins map-side hash probes — the candidate-pair
+    # table crosses zero exchanges between its checkpoint and the est
+    # filter. Catalyst cannot make this call itself: the checkpoint hides
+    # size estimates and the raw table usually sits above
+    # autoBroadcastJoinThreshold. At corpus scale (sig_rows in the
+    # millions) the bound fails and the joins stay shuffled exactly as
+    # before — the broadcast never becomes a scale hazard.
+    bcast_budget_rows = _SIG_BCAST_BUDGET_BYTES // (8 * cfg.num_hashes)
+    if 0 < sig_rows <= bcast_budget_rows:
+        sig_a = F.broadcast(sig_a)
+        sig_b = F.broadcast(sig_b)
     # EXACT prefix prune: a pair needs >= k_min of num_hashes agreeing slots
     # to reach the threshold, so it needs >= k_min - (num_hashes - prefix)
     # agreements within the first `prefix` slots even if every remaining
@@ -885,9 +910,17 @@ def connected_components(
     # materialize once: the threshold count and the chosen strategy both scan
     # the edge list; without this the upstream pair pipeline runs twice.
     # localCheckpoint (not cache) — lineage truncated, storage auto-freed.
-    edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
+    # The strategy-cutover count rides the checkpoint job as an observe()
+    # metric (the repo's zero-extra-jobs doctrine; round 8 — the previous
+    # limit(threshold+1).count() was one more full job per CC invocation).
+    from pyspark.sql import Observation
+
+    obs = Observation("cc_n_edges")
+    edges = (
+        edges.observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    if obs.get["n"] <= driver_threshold:
         return _cc_driver(edges)
     return _cc_distributed(edges, max_iter)
 

@@ -200,30 +200,90 @@ def is_zh_relational(
     )
 
 
+EXTRACT_FULL_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("fell_back", BooleanType()),
+        StructField("lang_pred", StringType()),
+        StructField("lang_conf", DoubleType()),
+        StructField("is_zh", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACT_FULL_SCHEMA)
+def extract_full(html: pd.Series) -> pd.DataFrame:
+    """Fused extraction kernel: html -> (text, fell_back, lang columns) in
+    ONE JVM<->Python Arrow round trip. Composes exactly the three stage
+    functions the separate UDFs run (extract_html_text ->
+    remove_long_repeated_substrings_ex -> langid.identify, with the same
+    NULL conventions), so values are identical — but the document crosses
+    the Python boundary once instead of twice (guide §4.1: each chained
+    pandas UDF is its own ArrowEvalPython round trip; the intermediate
+    extracted_text no longer travels JVM->Python a second time)."""
+    rows = []
+    for h in html:
+        t = extract_html_text(h)
+        if t is None:
+            txt, fb = None, False
+        else:
+            txt, fb = remove_long_repeated_substrings_ex(t)
+        if txt is None:
+            lp, lc, zh = "", 0.0, False
+        else:
+            lp, lc, zh = _langid.identify(txt)
+        rows.append(
+            {
+                "text": txt,
+                "fell_back": fb,
+                "lang_pred": lp,
+                "lang_conf": lc,
+                "is_zh": zh,
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["text", "fell_back", "lang_pred", "lang_conf", "is_zh"]
+    )
+
+
 def with_extraction(df: DataFrame, html_col: str = "html") -> DataFrame:
     """E3 rebuild: derive extracted/cleaned text + language columns from raw
     html; the WARC two-pass offset membership (subsample_warc_warc.py:46-87)
     collapses into the single boolean ``is_zh`` column (SURVEY.md J1).
     ``repeat_removal_fell_back`` surfaces P4's over-budget approximate path
-    per doc (expected ~0 on real corpora; auditable at scale)."""
+    per doc (expected ~0 on real corpora; auditable at scale).
+
+    Round 8: the three per-doc Python stages run as ONE fused pandas UDF
+    (``extract_full``) — one ArrowEvalPython node instead of two chained
+    ones, halving the Python boundary crossings; the standalone UDFs above
+    remain for callers that need a single stage."""
     # temp struct columns use collision-proof names: withColumn silently
     # REPLACES an existing column, so a plain "r"/"l" would destroy user data
     # ... and the EXPANDED output names must not collide either:
     # select('*', struct.*) DUPLICATES same-named input columns (ambiguous
-    # references downstream, review finding) — raise instead
-    out_names = {"lang_pred", "lang_conf", "is_zh"} & set(df.columns)
+    # references downstream, review finding) — raise instead. The guard
+    # covers EVERY emitted column, including the withColumn-assigned
+    # extracted_text / repeat_removal_fell_back (ADVICE r7: withColumn
+    # silently replaces same-named input columns too).
+    out_names = {
+        "lang_pred",
+        "lang_conf",
+        "is_zh",
+        "extracted_text",
+        "repeat_removal_fell_back",
+    } & set(df.columns)
     if out_names:
         raise ValueError(
             f"with_extraction: input columns collide with the operator's "
             f"output names {sorted(out_names)} — rename or drop them first"
         )
-    rcol, lcol = "__repeats_struct", "__langid_struct"
+    ecol = "__extract_struct"
     return (
-        df.withColumn(rcol, remove_repeats_ex(extract_text(F.col(html_col))))
-        .withColumn("extracted_text", F.col(f"{rcol}.text"))
-        .withColumn("repeat_removal_fell_back", F.col(f"{rcol}.fell_back"))
-        .drop(rcol)
-        .select("*", lang_id(F.col("extracted_text")).alias(lcol))
-        .select("*", f"{lcol}.*")
-        .drop(lcol)
+        df.withColumn(ecol, extract_full(F.col(html_col)))
+        .withColumn("extracted_text", F.col(f"{ecol}.text"))
+        .withColumn("repeat_removal_fell_back", F.col(f"{ecol}.fell_back"))
+        .withColumn("lang_pred", F.col(f"{ecol}.lang_pred"))
+        .withColumn("lang_conf", F.col(f"{ecol}.lang_conf"))
+        .withColumn("is_zh", F.col(f"{ecol}.is_zh"))
+        .drop(ecol)
     )

@@ -360,10 +360,12 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment by squared L2 (argmin, centroid-id
     tie-break) against a broadcast ``(cid, c)`` centroid table. Returns
-    (id_col, cell).
+    (id_col, cell), plus the input vector as ``__vec`` when ``keep_vec``
+    (so iterative callers avoid a join back onto the vector table).
 
     The argmin is ``min(struct(d2, cid))`` — a HASH AGGREGATE with map-side
     partials, not a row_number window: the window form sorts the full
@@ -398,11 +400,16 @@ def assign_cells(
         .crossJoin(F.broadcast(centroids))
         .withColumn("d2", F.expr(dist))
     )
-    return (
-        pairs.groupBy(id_col)
-        .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("__am"))
-        .select(F.col(id_col), F.col("__am.cid").alias("cell"))
-    )
+    aggs = [F.min(F.struct(F.col("d2"), F.col("cid"))).alias("__am")]
+    cols = [F.col(id_col), F.col("__am.cid").alias("cell")]
+    if keep_vec:
+        # the vector is constant within an id group (it came from the left
+        # side of the centroid cross join), so first() is deterministic —
+        # carrying it through the aggregate saves the join back onto the
+        # vector table that kmeans_fit's per-iteration loop used to pay
+        aggs.append(F.first("v").alias("__vec"))
+        cols.append(F.col("__vec"))
+    return pairs.groupBy(id_col).agg(*aggs).select(*cols)
 
 
 def ivf_assign(
@@ -496,6 +503,12 @@ def kmeans_fit(
     spark = vectors.sparkSession
     for _ in range(max(0, int(iters))):
         cdf = spark.createDataFrame(cents, cent_schema)
+        # NOTE (round 8, measured): carrying the vector through the argmin
+        # aggregate (assign_cells keep_vec=True) was tried and REJECTED —
+        # an array-typed aggregation buffer drops the argmin out of the
+        # fast hash aggregate, and the interleaved A/B read 7.5 s vs 4.1 s
+        # for this join-back shape (BENCH note in OPTIMIZATION_r08.md).
+        # The join stays: AQE broadcasts the slim (id, cell) side.
         assigned = assign_cells(src, cdf, "__kid", "__v").join(src, "__kid")
         # per-cell element-wise mean: one slim (cell, dim) shuffle
         means = (
