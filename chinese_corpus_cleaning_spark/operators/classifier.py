@@ -138,8 +138,10 @@ def nb_logodds_weights(
     extra join) just to re-derive the same per-class occurrence totals.
     c1/c0 are integer occurrence counts either way, so the weights are
     bit-identical (oracle-parity-pinned)."""
+    from .partitioning import ensure_min_parallelism
+
     y = F.col(label_col).cast("boolean")
-    grams = labeled.select(
+    grams = ensure_min_parallelism(labeled).select(
         y.alias("__y"),
         F.explode(F.expr(_gram_expr(text_col, n))).alias("gram"),
     ).select(
@@ -365,7 +367,9 @@ def classifier_score(
     # sum-over-buckets of cnt * w to the last digit (oracle-parity-pinned;
     # for quantize=None the float margin was already shuffle-order-
     # dependent, unchanged by this).
-    grams = docs.select(
+    from .partitioning import ensure_min_parallelism
+
+    grams = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(_gram_expr(text_col, n))).alias("gram"),
     ).select(

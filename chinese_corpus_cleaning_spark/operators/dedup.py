@@ -271,9 +271,16 @@ def minhash_similarity_pairs(
     text_col: str = "text",
     max_band_bucket: int | None = None,
     precomputed: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs with estimated Jaccard (fraction of agreeing minhash
     slots) >= cfg.similarity_threshold. Returns (id_a, id_b, est_jaccard).
+
+    ``materialize=False`` (single-consumer callers whose next step is its
+    own checkpoint, e.g. dedup_edges feeding connected_components) skips
+    the small-signature fast path's output checkpoint — one Spark job
+    fewer; multi-consumer callers (dbscan scans the result three times)
+    keep the default so the LSH machinery never re-executes.
 
     ``precomputed``: an existing (id_col, minhash, band_keys) signature
     frame COMPUTED WITH THE SAME cfg (e.g. fold_into_index's checkpointed
@@ -299,12 +306,45 @@ def minhash_similarity_pairs(
         sig_stage.observe(obs_sig, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # materialize the candidate pairs once: the est_jaccard join consumes
-    # them, and (below) their id set may prune the signature re-attach
+    n_sigs = obs_sig.get["n"]
+    bcast_budget_rows = _SIG_BCAST_BUDGET_BYTES // (8 * cfg.num_hashes)
+    pairs = lsh_candidate_pairs(signed, id_col, max_band_bucket)
+    if 0 < n_sigs <= bcast_budget_rows:
+        # SMALL-SIGNATURE fast path (size-adaptive join strategy, guide
+        # §3.1, decided from the free observe() count): the whole signature
+        # table fits the broadcast budget (~num_hashes * 8 B per row, 64 MB
+        # bound), so both re-attach joins become map-side hash probes and
+        # the candidate-id prune below is moot. With exactly one consumer
+        # chain left, the pair table needs NO checkpoint of its own — the
+        # est output (threshold survivors, orders of magnitude smaller than
+        # the candidate set) is checkpointed instead, so multi-consumer
+        # callers (dbscan's three scans) never re-run the LSH machinery and
+        # the stage costs one job fewer than the round-7 shape.
+        sig_a = F.broadcast(
+            signed.select(
+                F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a")
+            )
+        )
+        sig_b = F.broadcast(
+            signed.select(
+                F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b")
+            )
+        )
+        cond, est_col = _est_jaccard_exprs(cfg)
+        est = (
+            pairs.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .where(cond)
+            .withColumn("est_jaccard", est_col)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+        return est.localCheckpoint(eager=True) if materialize else est
+    # CORPUS-SCALE path: materialize the candidate pairs once (the
+    # est_jaccard join consumes them, and their id set may prune the
+    # signature re-attach below).
     obs_pairs = Observation("lsh_n_pairs")
     pairs = (
-        lsh_candidate_pairs(signed, id_col, max_band_bucket)
-        .observe(obs_pairs, F.count(F.lit(1)).alias("n"))
+        pairs.observe(obs_pairs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # ADAPTIVE signature-re-attach prune (same runtime-statistics doctrine as
@@ -319,7 +359,6 @@ def minhash_similarity_pairs(
     # metrics, and distinct candidate ids <= 2 * n_pairs bounds coverage
     # from above (a conservative sufficient condition — prune only when
     # certainly sparse).
-    n_sigs = obs_sig.get["n"]
     n_pairs = obs_pairs.get["n"]
     sig_src = signed
     sig_rows = n_sigs
@@ -333,18 +372,9 @@ def minhash_similarity_pairs(
         sig_rows = min(n_sigs, 2 * n_pairs)
     sig_a = sig_src.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("minhash_a"))
     sig_b = sig_src.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("minhash_b"))
-    # Size-adaptive join strategy (guide §3.1 doctrine, decided from the SAME
-    # free observe() row counts as the prune above): each signature row is
-    # ~num_hashes * 8 B, so when the (pruned) signature table is provably
-    # under a conservative broadcast budget, shipping it to every executor
-    # makes BOTH re-attach joins map-side hash probes — the candidate-pair
-    # table crosses zero exchanges between its checkpoint and the est
-    # filter. Catalyst cannot make this call itself: the checkpoint hides
-    # size estimates and the raw table usually sits above
-    # autoBroadcastJoinThreshold. At corpus scale (sig_rows in the
-    # millions) the bound fails and the joins stay shuffled exactly as
-    # before — the broadcast never becomes a scale hazard.
-    bcast_budget_rows = _SIG_BCAST_BUDGET_BYTES // (8 * cfg.num_hashes)
+    # The post-prune table can still fit the broadcast budget in sparse
+    # corpora (sig_rows <= 2 * n_pairs) — broadcast it then; corpus-scale
+    # tables blow the bound and keep the shuffled joins exactly as before.
     if 0 < sig_rows <= bcast_budget_rows:
         sig_a = F.broadcast(sig_a)
         sig_b = F.broadcast(sig_b)
@@ -1053,9 +1083,16 @@ def dedup_edges(
     # re-fetched representative texts with an extra corpus-wide join — the
     # measured ~10% small-scale regression in the round-3 bench drift; this
     # shape beats both it and the text-keyed round-2 form at every scale.)
+    # Lazy localCheckpoint (round 8): TWO branches consume this aggregate —
+    # the exact-edge join-back and the representative table feeding MinHash.
+    # Without it the full-corpus md5 hash aggregation (scan + digest + text
+    # shuffle) executed once PER BRANCH; the checkpoint materializes it at
+    # the first action and the second branch reads the stored blocks. The
+    # storage cost is the distinct texts once — the same bytes the agg's
+    # shuffle already wrote to local disk.
     groups = keyed.groupBy("h").agg(
         F.min("id").alias("rep"), F.first("text").alias("text")
-    )
+    ).localCheckpoint(eager=False)
     exact_edges = (
         keyed.select("id", "h")
         .join(groups.select("h", "rep"), "h")
@@ -1069,7 +1106,8 @@ def dedup_edges(
         else precomputed
     )
     near_edges = minhash_similarity_pairs(
-        reps, cfg, "id", "text", max_band_bucket, precomputed=signed_pre
+        reps, cfg, "id", "text", max_band_bucket, precomputed=signed_pre,
+        materialize=False,
     ).select("id_a", "id_b")
     return near_edges.union(exact_edges)
 

@@ -90,8 +90,11 @@ def ngram_counts(
     shuffle join (perplexity_relational(broadcast_model=False)). Downstream
     smoothing treats pruned pairs as unseen — the standard count-cutoff LM
     approximation."""
+    from .partitioning import ensure_min_parallelism
+
     counts = (
-        docs.select(F.expr(_padded_tokens_expr(text_col, n)).alias("__toks"))
+        ensure_min_parallelism(docs)
+        .select(F.expr(_padded_tokens_expr(text_col, n)).alias("__toks"))
         .select(F.explode(F.expr(_ngrams_over_tokens_expr("__toks", n))).alias("g"))
         .select("g.context", "g.word")
         .groupBy("context", "word")
@@ -134,8 +137,11 @@ def perplexity_relational(
     if broadcast_model:
         model = F.broadcast(model)
         ctx_tot = F.broadcast(ctx_tot)
+    from .partitioning import ensure_min_parallelism
+
     grams = (
-        docs.select(
+        ensure_min_parallelism(docs)
+        .select(
             F.col(id_col),
             F.expr(_padded_tokens_expr(text_col, n)).alias("__toks"),
         )

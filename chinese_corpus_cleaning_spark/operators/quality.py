@@ -147,23 +147,12 @@ def with_quality(
             f"(select('*','q.*') would emit duplicate columns and the "
             f"next F.col reference would be ambiguous; review finding)"
         )
-    # Parallelism-recovery guard (guide §2.5 "input skew: one huge
-    # unsplittable file ... repartition immediately after the read"): the
-    # expensive per-doc Python evaluation inherits the INPUT's partition
-    # count, and a small parquet file (or a single gzip member) scans as
-    # ONE partition — the whole corpus then runs on one Python worker
-    # while every other core idles (measured: the sf0.1 documents table is
-    # one 600 KB row-group, so the quality stage was single-worker-bound).
-    # Round-robin repartition to the cluster's default parallelism, ONLY
-    # when the scan under-partitions: at production scale inputs carry >=
-    # cores partitions and this is a no-op, so no extra text movement is
-    # introduced where the text-shuffle audit matters (round-robin is also
-    # not a hashpartitioning on text — the audited invariant is about
-    # text-KEYED exchanges).
-    if not df.isStreaming:
-        want = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < want:
-            df = df.repartition(want)
+    # Parallelism-recovery guard: without it a single-row-group scan runs
+    # the whole per-doc Python evaluation on ONE worker (see
+    # operators/partitioning.py for the doctrine and measurements).
+    from .partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     udf = make_quality_udf(trie_broadcast, cfg)
     df = df.withColumn("q", udf(F.col(text_col)))
     comps: list[tuple[Column, float]] = []

@@ -93,7 +93,16 @@ def _bucketed_norm_frame(
     bucket-expression + interpreted higher-order norm lineage — doubling
     the corpus scan cost per call (dedup.py multi-branch doctrine;
     review finding). eager=False: materializes at first action, like the
-    other lazy checkpoints in this repo."""
+    other lazy checkpoints in this repo.
+
+    The vector side goes through the parallelism-recovery guard first
+    (operators/partitioning.py): both the bucket expressions and the
+    within-bucket cosine scans downstream inherit this frame's partition
+    count, and a one-row-group embedding file would otherwise run them
+    all on one core."""
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     return (
         with_norm(vectors.join(buckets, id_col), vec_col)
         .select(id_col, key, vec_col, "_norm")
@@ -113,6 +122,9 @@ def cosine_topk(
     ``probes`` defaults to the full set (all-pairs); pass a small probe
     DataFrame for query-style search — it is broadcast, making the join
     map-side."""
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     base = with_norm(vectors, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vb"),
@@ -193,6 +205,9 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to same-bucket pairs
     (equi-join on bucket), then exact cosine + windowed rank within bucket."""
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     b = rp_lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
     v = _bucketed_norm_frame(vectors, b, "bucket", id_col, vec_col)
     left = v.select(
@@ -271,6 +286,9 @@ def duplicate_ratio_ann(
     (clustering.py:169-185): candidate space shrinks ~2^n_planes vs the
     all-pairs ``duplicate_ratio`` (kept as the oracle-checkable exact spec).
     Returns (vec_id, dup_ratio) for EVERY input vector."""
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     b = rp_lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
     v = _bucketed_norm_frame(vectors, b, "bucket", id_col, vec_col)
     left = v.select(
@@ -443,6 +461,9 @@ def ivf_topk(
     """IVF ANN: exact cosine top-k restricted to same-cell candidates."""
     from pyspark.sql.window import Window
 
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     cells = ivf_assign(vectors, n_cells, id_col, vec_col)
     v = _bucketed_norm_frame(vectors, cells, "cell", id_col, vec_col)
     left = v.select(
@@ -488,6 +509,9 @@ def kmeans_fit(
     combine); the k*dim means come to the driver (tiny) and go back out as
     the next broadcast literal. Nothing vector-sized ever keys a shuffle.
     """
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     src = vectors.select(
         F.col(id_col).alias("__kid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
@@ -559,6 +583,9 @@ def semdedup(
     then n*cell_size work on slim (id, vector) rows, hot cells split by
     AQE skew handling, and the max-per-id aggregate is partial (map-side
     combine) so no cell's pair list ever materializes in one task."""
+    from .partitioning import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     cells = (
         ivf_assign(vectors, n_cells, id_col, vec_col)
         if centroids is None
