@@ -313,12 +313,25 @@ class TextQualityFilter:
                 name = os.path.basename(path)
                 if name in seen_names:
                     continue
-                stats["low_quality"] += 1
+                # only a file that is actually empty on disk takes the
+                # reference's empty-text path; anything else missing from
+                # the Spark result is a read failure and must be counted
+                # as an error, not masked as empty_text (r7 advice)
+                try:
+                    is_empty = os.path.getsize(path) == 0
+                except OSError:
+                    is_empty = False
+                if is_empty:
+                    stats["low_quality"] += 1
+                    err_label = "empty_text"
+                else:
+                    stats["error"] += 1
+                    err_label = "unreadable_input"
                 with open(
                     os.path.join(results_dir, f"{name}.json"), "w", encoding="utf-8"
                 ) as f:
                     json.dump(
-                        {"error": "empty_text"}, f, ensure_ascii=False, indent=2
+                        {"error": err_label}, f, ensure_ascii=False, indent=2
                     )
         with open(os.path.join(output_dir, "stats.json"), "w", encoding="utf-8") as f:
             json.dump(stats, f, ensure_ascii=False, indent=2)
@@ -350,14 +363,28 @@ class TextQualityFilter:
         # 0-byte files are dropped by Spark's wholetext reader; the
         # reference reads "" and writes an EMPTY scrubbed file, counted
         # processed (main.py:395-405) — compensate like batch_process
-        # does (review finding: these files silently vanished here)
+        # does (review finding: these files silently vanished here).
+        # Only files that are ACTUALLY empty on disk get the compensation:
+        # a file missing from the Spark result for any other reason
+        # (unreadable, read failure) must surface as an error, not be
+        # silently masked as a successfully scrubbed empty file (r7
+        # advice).
         for path in files:
             name = os.path.basename(path)
             if name in seen_names:
                 continue
-            with open(os.path.join(output_dir, name), "w", encoding="utf-8") as f:
-                f.write("")
-            stats["processed"] += 1
+            try:
+                is_empty = os.path.getsize(path) == 0
+            except OSError:
+                is_empty = False
+            if is_empty:
+                with open(
+                    os.path.join(output_dir, name), "w", encoding="utf-8"
+                ) as f:
+                    f.write("")
+                stats["processed"] += 1
+            else:
+                stats["error"] += 1
         # the reference ALWAYS writes filter_stats.json (main.py:410-413)
         with open(
             os.path.join(output_dir, "filter_stats.json"), "w", encoding="utf-8"

@@ -403,52 +403,35 @@ def minhash_similarity_pairs(
     return est
 
 
-def _agree_count_expr(prefix: int, nh: int) -> str:
-    """Count of agreeing minhash slots over the first ``prefix`` positions,
-    as a whole-stage-codegen sum when both arrays are full ``nh``-slot
-    signatures (the only shape with_minhash ever emits — real signatures
-    and the all-P sentinel alike), falling back to the original interpreted
-    zip_with fold otherwise.
-
-    Why: zip_with/filter/size are CodegenFallback — evaluated interpreted
-    with per-element closure calls, twice per candidate pair (prefix +
-    full), which was the dominant per-pair cost of the est-Jaccard stage
-    (round-8 notes). The unrolled integer sum counts exactly the same slot
-    agreements (both branches are pinned equal by
-    tests/test_similarity_unroll.py). element_at is ANSI-safe under the
-    size guard."""
-    hof = (
-        f"size(filter(zip_with(slice(minhash_a, 1, {prefix}),"
-        f" slice(minhash_b, 1, {prefix}), (x, y) -> x = y), v -> v))"
-        if prefix < nh
-        else "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y), v -> v))"
-    )
-    terms = "".join(
-        f" + (case when element_at(minhash_a, {i}) = element_at(minhash_b, {i})"
-        " then 1 else 0 end)"
-        for i in range(1, prefix + 1)
-    )
-    return (
-        f"(case when size(minhash_a) = {nh} and size(minhash_b) = {nh} "
-        f"then (0{terms}) else {hof} end)"
-    )
-
-
 def _est_jaccard_exprs(cfg: DedupConfig):
     """(filter_cond, est_jaccard_col) over columns minhash_a/minhash_b —
-    the exact 32-slot prefix prune + full agreement fraction shared
+    the exact 32-slot prefix prune + full zip_with agreement fraction shared
     by minhash_similarity_pairs and dedup_incremental_pairs (see the prune
     derivation comment at the minhash_similarity_pairs call site).
-    Agreement counts unroll to codegen sums on full-length signatures
-    (_agree_count_expr)."""
+
+    NOTE (round 8, measured): an element_at-unrolled codegen form of these
+    agreement counts (the _dot doctrine) was tried and REVERTED — per-pair
+    interpreted work here is already bounded by the 32-slot prefix prune,
+    so the unroll's steady-state saving was ~nothing while its ~300-term
+    generated code cost seconds of Janino compile per session (in-JVM
+    toggle A/B: unroll [8.41, 5.97, 5.56, 6.24] vs fold [6.13, 5.57,
+    6.18, 5.09] on the full 20k-doc dedup stage). The interpreted fold
+    stays; the unroll remains the right call where a giant expression is
+    evaluated millions of times per session (the cosine dot)."""
     nh = cfg.num_hashes
     k_min = next(k for k in range(nh + 1) if k / nh >= cfg.similarity_threshold)
     prefix = min(32, nh)
     need = k_min - (nh - prefix)
-    full_agree = _agree_count_expr(nh, nh)
+    full_agree = (
+        "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y),"
+        " v -> v))"
+    )
     cond = F.expr(f"{full_agree} / size(minhash_a) >= {cfg.similarity_threshold}")
     if need > 0:
-        prefix_agree = _agree_count_expr(prefix, nh)
+        prefix_agree = (
+            f"size(filter(zip_with(slice(minhash_a, 1, {prefix}),"
+            f" slice(minhash_b, 1, {prefix}), (x, y) -> x = y), v -> v))"
+        )
         cond = F.expr(f"{prefix_agree} >= {need}") & cond
     return cond, F.expr(f"{full_agree} / size(minhash_a)")
 

@@ -534,22 +534,31 @@ def kmeans_fit(
         # for this join-back shape (BENCH note in OPTIMIZATION_r08.md).
         # The join stays: AQE broadcasts the slim (id, cell) side.
         assigned = assign_cells(src, cdf, "__kid", "__v").join(src, "__kid")
-        # per-cell element-wise mean: one slim (cell, dim) shuffle
+        # per-cell element-wise mean: one slim (cell, dim) shuffle. The
+        # k*dim mean rows come straight to the driver and are assembled
+        # into vectors in Python — the former second aggregation
+        # (groupBy(cell) + sorted collect_list) was one more exchange per
+        # Lloyd iteration spent re-grouping <= k*dim rows the driver
+        # collects anyway (round 8; identical values, same per-cell
+        # (cell, dim) averages).
         means = (
             assigned.select("cell", F.posexplode("__v").alias("__d", "__x"))
             .groupBy("cell", "__d")
             .agg(F.avg("__x").alias("__m"))
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(__d, __m))),"
-                    " s -> s.__m)"
-                ).alias("c")
-            )
             .collect()
         )
-        new = {r["cell"]: [float(x) for x in r["c"]] for r in means}
-        cents = [(cid, new.get(cid, c)) for cid, c in cents]
+        new: dict = {}
+        for r in means:
+            new.setdefault(r["cell"], {})[r["__d"]] = float(r["__m"])
+        cents = [
+            (
+                cid,
+                [v for _, v in sorted(new[cid].items())]
+                if cid in new
+                else c,
+            )
+            for cid, c in cents
+        ]
     return spark.createDataFrame(cents, cent_schema)
 
 

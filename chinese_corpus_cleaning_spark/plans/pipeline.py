@@ -176,6 +176,23 @@ def run(
                         f"partitioning — rerun with the original value "
                         f"or start fresh (resume=False)"
                     )
+            else:
+                # legacy lineage (written before n_partitions was recorded)
+                # is exactly the UNVERIFIABLE case the guard above exists
+                # for — a silently different --partitions would drop or
+                # double-count documents. Surface it loudly instead of
+                # silently proceeding (r7 advice).
+                import warnings
+
+                warnings.warn(
+                    "resume: lineage table has no n_partitions column "
+                    "(written by an older run), so the partitioning "
+                    "cannot be verified against this run's --partitions; "
+                    "proceeding is only safe if it is IDENTICAL to the "
+                    "original run's. Rewrite the lineage or start fresh "
+                    "(resume=False) to clear this warning.",
+                    stacklevel=2,
+                )
             done = (
                 prior.where(F.col("status") == "complete")
                 .select("part_id")

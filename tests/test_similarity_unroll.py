@@ -94,41 +94,11 @@ def test_assign_cells_argmin_matches_window(spark, vec_df):
     assert got == want
 
 
-def test_agree_count_unrolled_bit_identical(spark):
-    from chinese_corpus_cleaning_spark.config import DedupConfig
-    from chinese_corpus_cleaning_spark.operators.dedup import (
-        _agree_count_expr,
-    )
-
-    nh = DedupConfig().num_hashes
-    sent = [2_147_483_647] * nh
-    rows = [
-        (list(range(nh)), list(range(nh))),                 # all agree
-        (list(range(nh)), [i + (i % 7 == 0) for i in range(nh)]),
-        (sent, sent),                                       # sentinel pair
-        (list(range(nh)), list(range(nh - 5))),             # ragged
-        (list(range(nh)), None),                            # NULL side
-        ([1, 2, 3], [1, 9, 3]),                             # short arrays
-    ]
-    df = spark.createDataFrame(
-        rows, "minhash_a array<bigint>, minhash_b array<bigint>"
-    )
-    for prefix in (32, nh):
-        fast = _agree_count_expr(prefix, nh)
-        slow = (
-            f"size(filter(zip_with(slice(minhash_a, 1, {prefix}),"
-            f" slice(minhash_b, 1, {prefix}), (x, y) -> x = y), v -> v))"
-            if prefix < nh
-            else "size(filter(zip_with(minhash_a, minhash_b,"
-            " (x, y) -> x = y), v -> v))"
-        )
-        bad = (
-            df.withColumn("f", F.expr(fast))
-            .withColumn("s", F.expr(slow))
-            .where(~F.col("f").eqNullSafe(F.col("s")))
-            .count()
-        )
-        assert bad == 0, f"prefix={prefix}"
+# NOTE: an element_at-unrolled form of the dedup est-Jaccard agreement
+# counts was pinned equal here in an earlier round-8 iteration, then the
+# unroll itself was REVERTED by measurement (see _est_jaccard_exprs'
+# docstring): the prefix prune already bounds the interpreted work and the
+# ~300-term generated code cost seconds of compile per session.
 
 
 def test_ngram_token_column_form_identical(spark):
