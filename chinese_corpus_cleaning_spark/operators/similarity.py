@@ -485,12 +485,66 @@ def ivf_topk(
     )
 
 
+def _kmeans_driver(spark, src, k: int, iters: int, cent_schema: str):
+    """Driver-side Lloyd over a collected (``__kid``, ``__v``) frame — the
+    small-input arm of kmeans_fit's size-adaptive cutover (the
+    connected_components doctrine: pick the physical strategy by runtime
+    statistics). Rules are identical to the distributed path (lowest-id
+    seeds, L2 argmin with centroid-id tie-break, empty cell keeps its
+    previous centroid), so the result matches to float-summation order —
+    exactly the operator's stated determinism contract, and byte-for-byte
+    the reference the differential test compares against.
+
+    Returns None when the collected vectors are irregular (NULL or ragged
+    rows) — those carry engine-specific NULL semantics the distributed
+    expressions define, so the caller falls through to the Spark path."""
+    import numpy as np
+
+    pdf = src.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], cent_schema)
+    vec_list = pdf["__v"].tolist()
+    if any(v is None for v in vec_list) or len(
+        {len(v) for v in vec_list}
+    ) != 1:
+        return None
+    pdf = pdf.sort_values("__kid", kind="mergesort").reset_index(drop=True)
+    ids = pdf["__kid"].tolist()
+    vecs = np.array(pdf["__v"].tolist(), dtype=np.float64)
+    cids = ids[: int(k)]
+    cents = vecs[: int(k)].copy()
+    for _ in range(max(0, int(iters))):
+        # |v - c|^2 via the expansion form: n x k memory instead of the
+        # naive n x k x dim broadcast intermediate (5 GB at the 100k-row
+        # threshold). Differs from the per-element form only in float
+        # rounding ~1e-12 relative — inside the operator's determinism
+        # contract (and the test tolerance).
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            + (cents * cents).sum(axis=1)[None, :]
+            - 2.0 * (vecs @ cents.T)
+        )
+        assign = d2.argmin(axis=1)  # first occurrence == lowest cid
+        for j in range(len(cids)):
+            m = assign == j
+            if m.any():
+                cents[j] = vecs[m].mean(axis=0)
+    return spark.createDataFrame(
+        [
+            (cid, [float(x) for x in cents[i]])
+            for i, cid in enumerate(cids)
+        ],
+        cent_schema,
+    )
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column; returns the
     trained ``(cid, c)`` centroid table (k rows, ready for
@@ -509,22 +563,42 @@ def kmeans_fit(
     combine); the k*dim means come to the driver (tiny) and go back out as
     the next broadcast literal. Nothing vector-sized ever keys a shuffle.
     """
+    from pyspark.sql import Observation
+
     from .partitioning import ensure_min_parallelism
 
     vectors = ensure_min_parallelism(vectors)
-    src = vectors.select(
-        F.col(id_col).alias("__kid"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    ).localCheckpoint(eager=True)
+    obs = Observation("kmeans_n")
+    src = (
+        vectors.select(
+            F.col(id_col).alias("__kid"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+        )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     # cid inherits the INPUT id type (review finding: forcing int()/bigint
     # crashed string-keyed corpora, which every sibling operator accepts)
     cid_type = vectors.schema[id_col].dataType.simpleString()
     cent_schema = f"cid {cid_type}, c array<double>"
+    spark = vectors.sparkSession
+    # Size-adaptive cutover (connected_components doctrine; the row count
+    # rides the checkpoint job via observe() — zero extra jobs): below the
+    # threshold the whole Lloyd loop runs as ONE Arrow collect + numpy on
+    # the driver instead of 2 jobs per iteration of distributed
+    # assignment/means — measured ~2 s per bench semdedup stage at 2000
+    # vectors, where the distributed loop is pure stage latency. At 100k
+    # rows x 64 dims the collect is ~50 MB — comfortably inside the driver
+    # budget (_cc_driver's 2M-edge doctrine); larger inputs take the
+    # distributed loop below, unchanged.
+    if obs.get["n"] <= driver_threshold:
+        out = _kmeans_driver(spark, src, k, iters, cent_schema)
+        if out is not None:
+            return out
     cents = [
         (r["cid"], [float(x) for x in r["c"]])
         for r in seed_centroids(src, k, "__kid", "__v").collect()
     ]
-    spark = vectors.sparkSession
     for _ in range(max(0, int(iters))):
         cdf = spark.createDataFrame(cents, cent_schema)
         # NOTE (round 8, measured): carrying the vector through the argmin
